@@ -1,0 +1,55 @@
+"""Global numeric configuration for the framework.
+
+The reference computes everything in float64 (CTF ``Tensor<>`` = double).
+TPUs emulate f64 slowly, so the default compute dtype here is float32 with
+``Precision.HIGHEST`` matmuls (6-pass bfloat16 on the MXU, ~f32 accurate).
+Tests run on CPU with x64 enabled and pass float64 explicitly to validate
+the algebra against the reference semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class NumericConfig:
+    # Compute dtype for tensors/factors.
+    dtype: object = jnp.float32
+    # Matmul/einsum precision: HIGHEST keeps R x R Gram solves stable in f32.
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # Relative eigenvalue cutoff for pseudo-inverse solves. The reference
+    # takes raw reciprocals of ScaLAPACK singular values (common.cxx:720-722);
+    # a tiny relative cutoff is the f32-safe equivalent.
+    rcond: float = 1e-12
+
+
+_cfg = NumericConfig()
+
+
+def get() -> NumericConfig:
+    return _cfg
+
+
+def set_dtype(dtype) -> None:
+    _cfg.dtype = dtype
+
+
+def set_precision(precision) -> None:
+    _cfg.precision = precision
+
+
+def default_dtype():
+    return _cfg.dtype
+
+
+def default_precision():
+    return _cfg.precision
+
+
+def cpu_test_mode() -> bool:
+    return os.environ.get("JAX_PLATFORMS", "") == "cpu"

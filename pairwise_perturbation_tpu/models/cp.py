@@ -1,0 +1,383 @@
+"""CP-ALS solvers: plain, dimension-tree (DT), pairwise perturbation (PP),
+and PP with partial updates.
+
+TPU-native re-design of the reference's legacy CP engine (als_CP.cxx):
+
+- :func:`als_cp`               <-> ``alsCP`` (als_CP.cxx:20-115)
+- :func:`als_cp_dt`            <-> ``alsCP_DT`` (als_CP.cxx:127-320)
+- :func:`als_cp_pp`            <-> ``alsCP_PP`` = ``alsCP_DT_sub`` <->
+                                   ``alsCP_PP_sub`` state machine
+                                   (als_CP.cxx:418-833, 1082-1137)
+- :func:`als_cp_pp_partupdate` <-> ``alsCP_PP_partupdate`` (als_CP.cxx:852-1073,
+                                   1146-1207)
+
+Architecture: each sweep (DT sweep, PP cache build, PP sweep) is one jitted
+static-shape XLA computation; the DT <-> PP phase machine, restart tolerances
+and CSV logging run in host Python at per-sweep granularity (negligible
+dispatch cost). Dynamic behavior that the reference implements with scalar
+loops (restart checks, 15-sweep PP cap) stays on the host — sweep-level
+control flow, not element-level — so nothing data-dependent is traced.
+
+Numerics: factor updates solve W S = M with S the Hadamard-of-Grams R x R
+matrix; ``solver='svd'`` matches the legacy engine (SVD_solve via eigh),
+``solver='chol'`` matches the second-gen optimizers (cholesky_solve).
+Residual diagnostics use the norm identity (one exact MTTKRP) instead of the
+reference's O(s^N) ``build_V`` reconstruction; both are excluded from
+``dtime`` exactly like the reference (als_CP.cxx:480-482).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pairwise_perturbation_tpu.ops import contract, dimtree, solve
+from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
+
+
+# ---------------------------------------------------------------------------
+# Configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CPConfig:
+    tol: float = 1e-10            # absolute gradnorm tolerance (driver passes tol*||V||)
+    pp_res_tol: float = 1e-2      # PP restart tolerance (tol_init)
+    lam: float = 0.0              # ridge regularization lambda
+    ratio_step: float = 1.0       # PP damping (magni)
+    maxiter: int = 250
+    timelimit: float = 5e3
+    resprint: int = 10
+    solver: str = "svd"           # 'svd' (legacy) | 'chol' (second-gen)
+    update_percentage: float = 1.0
+    pp_cache_sweeps: int = 15     # hard cap per PP cache build (als_CP.cxx:667)
+    bench: bool = False           # pp_bench timing mode
+    seed: int = 0
+
+
+@dataclass
+class CPResult:
+    factors: List
+    gradnorm: float
+    diffV: float
+    iters: int
+    converged: bool
+    history: list = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Jitted sweep kernels
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("solver", "normalize"))
+def dt_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
+    """One full DT-ALS sweep: per-mode MTTKRP from the binary dimension tree,
+    S assembly, gradient, solve. Returns (Ws_new, grads).
+
+    Mirrors the per-iteration body of alsCP_DT (als_CP.cxx:215-303),
+    including cache freshness: tree nodes are built on first use and reused
+    for later modes even after earlier factors updated.
+    """
+    order = V.ndim
+    Ws = list(Ws)
+    sweep = dimtree.BinaryTreeSweep(V, Ws)
+    grads = [None] * order
+    for i in range(order):
+        M = sweep.mttkrp(i)
+        S = contract.hadamard_gram(sweep.factors, skip_mode=i, regul=lam)
+        grads[i] = contract.gradsubprob(M, S, sweep.factors[i])
+        sweep.factors[i] = solve.solve(M, S, method=solver)
+    Ws = sweep.factors
+    if normalize:
+        Ws = contract.normalize_factors(Ws)
+    return Ws, grads
+
+
+@partial(jax.jit, static_argnames=("solver", "normalize"))
+def simple_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
+    """One plain ALS sweep with exact per-mode MTTKRP (alsCP body,
+    als_CP.cxx:66-99 / cp_simple_optimizer.cxx:step)."""
+    order = V.ndim
+    Ws = list(Ws)
+    grads = [None] * order
+    for i in range(order):
+        M = contract.mttkrp(V, Ws, i)
+        S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
+        grads[i] = contract.gradsubprob(M, S, Ws[i])
+        Ws[i] = solve.solve(M, S, method=solver)
+    if normalize:
+        Ws = contract.normalize_factors(Ws)
+    return Ws, grads
+
+
+@jax.jit
+def pp_build_caches(V, Ws):
+    """Build PP pair + single caches (als_CP.cxx:667-695)."""
+    return contract.build_pp_caches(V, Ws)
+
+
+@partial(jax.jit, static_argnames=("solver", "normalize"))
+def pp_sweep(single, pair, Ws, W_init, dWs, lam, ratio_step,
+             *, solver: str = "svd", normalize: bool = True):
+    """One PP sweep (als_CP.cxx:753-825): per mode, first-order-corrected
+    MTTKRP from the caches, S from *current* factors, damped solve.
+    Returns (Ws_new, dWs_new, grads)."""
+    order = len(Ws)
+    Ws = list(Ws)
+    dWs = list(dWs)
+    grads = [None] * order
+    for i in range(order):
+        M = contract.pp_correct_mttkrp(single[i], pair, dWs, i)
+        S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
+        grads[i] = contract.gradsubprob(M, S, Ws[i])
+        Ws[i], dWs[i] = solve.svd_solve_mod(M, W_init[i], S, ratio_step) \
+            if solver == "svd" else _chol_solve_mod(M, W_init[i], S, ratio_step)
+    if normalize:
+        Ws = contract.normalize_factors(Ws)
+    return Ws, dWs, grads
+
+
+def _chol_solve_mod(M, W_init, S, ratio_step):
+    W_solved = solve.cholesky_solve(M, S)
+    dW = ratio_step * (W_solved - W_init)
+    return W_init + dW, dW
+
+
+@jax.jit
+def factor_norm_ratios(Ws, dWs):
+    """||dW_i|| / ||W_i|| for all modes (restart checks,
+    als_CP.cxx:594-603, 659-664)."""
+    return jnp.stack([
+        jnp.linalg.norm(dW.ravel()) / jnp.linalg.norm(W.ravel())
+        for W, dW in zip(Ws, dWs)])
+
+
+@jax.jit
+def cp_diagnostics(V_norm_sq, V, Ws, grads):
+    """(gradnorm, diffV): gradnorm = sqrt(sum ||grad_i||^2) of the sweep's
+    gradients; diffV via the norm identity with a fresh exact MTTKRP."""
+    gn = jnp.sqrt(sum(jnp.vdot(g, g) for g in grads))
+    M_last = contract.mttkrp(V, Ws, len(Ws) - 1)
+    diffV = contract.cp_residual_norm(V_norm_sq, M_last, Ws)
+    return gn, diffV
+
+
+# ---------------------------------------------------------------------------
+# Host-side drivers
+# ---------------------------------------------------------------------------
+
+
+def init_factors(shape: Sequence[int], R: int, key=None, dtype=None):
+    """Deterministic uniform(0,1) factor init — replaces the reference's
+    subworld trick (run.cxx:292-322): seeded jax.random keys are
+    process-count invariant by construction."""
+    import pairwise_perturbation_tpu.config as cfg
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if dtype is None:
+        dtype = cfg.default_dtype()
+    keys = jax.random.split(key, len(shape))
+    return [jax.random.uniform(k, (s, R), dtype=dtype)
+            for k, s in zip(keys, shape)]
+
+
+def _as_list(Ws):
+    return [jnp.asarray(W) for W in Ws]
+
+
+def _diag_and_log(V_norm_sq, V, Ws, grads, clock, plot, it, tol, pp_flag,
+                  history):
+    """Run diagnostics with excluded time, log a CSV row, return scalars."""
+    with clock.exclude():
+        if grads is not None:
+            gn, diffV = cp_diagnostics(V_norm_sq, V, Ws, grads)
+            gn, diffV = float(gn), float(diffV)
+        else:
+            M_last = contract.mttkrp(V, Ws, len(Ws) - 1)
+            diffV = float(contract.cp_residual_norm(V_norm_sq, M_last, Ws))
+            gn = float("inf")
+    dtime = clock.dtime()
+    if plot is not None:
+        plot.row(V.shape[0], it, gn, tol, pp_flag, diffV, dtime)
+    history.append(dict(iter=it, gradnorm=gn, diffV=diffV, dtime=dtime,
+                        pp=pp_flag))
+    return gn, diffV, dtime
+
+
+def als_cp(V, Ws, cfg: CPConfig, plot: Optional[PlotFile] = None) -> CPResult:
+    """Plain ALS (exact MTTKRP each mode). Reference: alsCP (als_CP.cxx:20-115)."""
+    return _als_generic(V, Ws, cfg, plot, sweep_fn=simple_sweep)
+
+
+def als_cp_dt(V, Ws, cfg: CPConfig, plot: Optional[PlotFile] = None,
+              clock: Optional[SweepClock] = None) -> CPResult:
+    """DT-ALS. Reference: alsCP_DT (als_CP.cxx:127-320)."""
+    return _als_generic(V, Ws, cfg, plot, sweep_fn=dt_sweep, clock=clock)
+
+
+def _als_generic(V, Ws, cfg: CPConfig, plot, sweep_fn, clock=None) -> CPResult:
+    V = jnp.asarray(V)
+    Ws = _as_list(Ws)
+    V_norm_sq = jnp.vdot(V, V)
+    clock = clock or SweepClock()
+    history: list = []
+    grads = None
+    gn, diffV = float("inf"), float("inf")
+    it = 0
+    converged = False
+    lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    while it <= cfg.maxiter:
+        if it % cfg.resprint == 0 or it == cfg.maxiter:
+            gn, diffV, dtime = _diag_and_log(
+                V_norm_sq, V, Ws, grads, clock, plot, it, cfg.tol, 0, history)
+            if gn < cfg.tol:
+                converged = True
+                break
+            if dtime > cfg.timelimit:
+                break
+        Ws, grads = sweep_fn(V, Ws, lam, solver=cfg.solver)
+        it += 1
+    return CPResult(Ws, gn, diffV, it, converged, history)
+
+
+def _dt_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq):
+    """DT sweeps as PP preconditioner. Reference: alsCP_DT_sub
+    (als_CP.cxx:418-612). Returns (Ws, dWs, exit_reason)."""
+    order = V.ndim
+    W_prev = [jnp.zeros_like(W) for W in Ws]
+    lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    while state["iter"] <= cfg.maxiter:
+        it = state["iter"]
+        if it % cfg.resprint == 0 or it == cfg.maxiter:
+            gn, diffV, dtime = _diag_and_log(
+                V_norm_sq, V, Ws, state["grads"], clock, plot, it, cfg.tol, 0,
+                state["history"])
+            state["gradnorm"], state["diffV"] = gn, diffV
+            if gn < cfg.tol:
+                return Ws, dWs, "converged"
+            if dtime > cfg.timelimit:
+                return Ws, dWs, "timelimit"
+        Ws, grads = dt_sweep(V, Ws, lam, solver=cfg.solver)
+        state["grads"] = grads
+        dWs = [W - Wp for W, Wp in zip(Ws, W_prev)]
+        W_prev = [W for W in Ws]
+        ratios = np.asarray(factor_norm_ratios(Ws, dWs))
+        state["iter"] = it + 1
+        if int(np.sum(np.abs(ratios) < cfg.pp_res_tol)) == order:
+            return Ws, dWs, "quiet"
+    return Ws, dWs, "maxiter"
+
+
+def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
+            partial_update: bool = False):
+    """PP sweeps. Reference: alsCP_PP_sub (als_CP.cxx:621-833) /
+    alsCP_PP_partupdate_sub (als_CP.cxx:852-1073)."""
+    order = V.ndim
+    init_iter = state["iter"]
+    lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    W_init = None
+    single = pair = None
+    # partial-update state (als_CP.cxx:886-898)
+    dMs = None
+    Ms = [None] * order
+    rel_perturbe = np.zeros(order)
+    update_size = max(int(order * cfg.update_percentage), 1) \
+        if partial_update else order
+
+    while state["iter"] <= cfg.maxiter:
+        it = state["iter"]
+        num_dw_break = 0
+        if not cfg.bench:
+            ratios = np.asarray(factor_norm_ratios(Ws, dWs))
+            num_dw_break = int(np.sum(np.abs(ratios) > cfg.pp_res_tol))
+        if (it - init_iter) % cfg.pp_cache_sweeps == 0 or num_dw_break > 0:
+            if num_dw_break > 0 or it != init_iter:
+                return Ws, dWs, "restart"
+            W_init = [W for W in Ws]
+            dWs = [jnp.zeros_like(W) for W in Ws]
+            single, pair = pp_build_caches(V, Ws)
+            if partial_update:
+                dMs = [jnp.zeros_like(W) for W in Ws]
+        if it % cfg.resprint == 0 or it == cfg.maxiter or it == init_iter:
+            gn, diffV, dtime = _diag_and_log(
+                V_norm_sq, V, Ws, state["grads"], clock, plot, it, cfg.tol, 1,
+                state["history"])
+            state["gradnorm"], state["diffV"] = gn, diffV
+            if gn < cfg.tol:
+                return Ws, dWs, "converged"
+            if dtime > cfg.timelimit:
+                return Ws, dWs, "timelimit"
+        if not partial_update:
+            Ws, dWs, grads = pp_sweep(single, pair, Ws, W_init, dWs, lam,
+                                      cfg.ratio_step, solver=cfg.solver)
+            state["grads"] = grads
+        else:
+            # sorted by descending relative perturbation (als_CP.cxx:992-1001)
+            sorted_idx = list(np.argsort(-rel_perturbe, kind="stable"))
+            grads = state["grads"] or [jnp.zeros_like(W) for W in Ws]
+            for i in [int(x) for x in sorted_idx[:update_size]]:
+                M = single[i] + dMs[i]
+                S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
+                grads[i] = contract.gradsubprob(M, S, Ws[i])
+                Ms[i] = M
+                Ws[i], dWs[i] = solve.svd_solve_mod(M, W_init[i], S,
+                                                    cfg.ratio_step)
+                # propagate the change to other modes (als_CP.cxx:1037-1053)
+                dMs[i] = jnp.zeros_like(dMs[i])
+                for ii in range(order):
+                    if ii == i:
+                        continue
+                    a, b = min(i, ii), max(i, ii)
+                    cache = pair[(a, b)]
+                    if ii < i:
+                        dMs[ii] = dMs[ii] + jnp.einsum(
+                            "abZ,bZ->aZ", cache, dWs[i], optimize=True)
+                    else:
+                        dMs[ii] = dMs[ii] + jnp.einsum(
+                            "abZ,aZ->bZ", cache, dWs[i], optimize=True)
+            state["grads"] = grads
+            for i in range(order):
+                if Ms[i] is not None:
+                    rel_perturbe[i] = float(
+                        jnp.linalg.norm(dMs[i].ravel()) /
+                        jnp.linalg.norm(Ms[i].ravel()))
+            Ws = contract.normalize_factors(Ws)
+        state["iter"] = it + 1
+    return Ws, dWs, "maxiter"
+
+
+def als_cp_pp(V, Ws, cfg: CPConfig, plot: Optional[PlotFile] = None,
+              partial_update: bool = False,
+              clock: Optional[SweepClock] = None) -> CPResult:
+    """Outer DT <-> PP loop. Reference: alsCP_PP (als_CP.cxx:1082-1137) /
+    alsCP_PP_partupdate (als_CP.cxx:1146-1207)."""
+    V = jnp.asarray(V)
+    Ws = _as_list(Ws)
+    V_norm_sq = jnp.vdot(V, V)
+    clock = clock or SweepClock()
+    state = dict(iter=0, grads=None, gradnorm=float("inf"),
+                 diffV=float("inf"), history=[])
+    dWs = [jnp.zeros_like(W) for W in Ws]
+    reason = None
+    while state["gradnorm"] > cfg.tol and state["iter"] <= cfg.maxiter:
+        if not cfg.bench:
+            Ws, dWs, reason = _dt_sub(V, Ws, dWs, cfg, plot, clock, state,
+                                      V_norm_sq)
+            if reason in ("converged", "timelimit", "maxiter"):
+                break
+        Ws, dWs, reason = _pp_sub(V, Ws, dWs, cfg, plot, clock, state,
+                                  V_norm_sq, partial_update=partial_update)
+        if reason in ("converged", "timelimit", "maxiter"):
+            break
+        if cfg.bench:
+            break
+    return CPResult(Ws, state["gradnorm"], state["diffV"], state["iter"],
+                    reason == "converged", state["history"])

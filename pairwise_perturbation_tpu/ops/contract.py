@@ -1,0 +1,402 @@
+"""Tensor-contraction primitives for CP / Tucker ALS.
+
+TPU-native replacements for the CTF string-einsum primitives in the
+reference's ``common.cxx``:
+
+- :func:`mttkrp`            <-> ``KhatriRao_contract`` (common.cxx:931-997)
+- :func:`partial_mttkrp`    <-> the chain contractions inside
+                                ``Build_mttkrp_map`` (als_CP.cxx:352-409) and
+                                ``mttkrp_map_DT`` (common.cxx:20-133)
+- :func:`build_pp_caches`   <-> PP cache construction for all mode pairs and
+                                singles (als_CP.cxx:667-695)
+- :func:`khatri_rao`        <-> ``KhatriRaoProduct`` (common.cxx:889-920)
+- :func:`gram` / :func:`hadamard_gram` <-> the ``S`` assembly
+                                (als_CP.cxx:573-576, cp_als_optimizer.cxx:update_S)
+- :func:`build_dense`       <-> ``build_V`` (common.cxx:135-197)
+- :func:`cp_gradient`       <-> ``gradient_CP`` (common.cxx:1009-1052)
+- :func:`cp_residual_norm`  <-> the diffV diagnostic (als_CP.cxx:474-479) via
+                                the norm identity instead of full
+                                reconstruction (no O(s^N) intermediate).
+- :func:`ttmc` / :func:`ttmc_contract_mode` <-> ``TTMc`` (als_Tucker.cxx:76-110)
+- :func:`build_ttmc_caches` <-> ``Build_ttmc_map`` (als_Tucker.cxx:426-466)
+- :func:`mode_gram`         <-> ``unroll_tensor_contraction`` (common.cxx:205-223)
+- :func:`normalize_factors` <-> ``Normalize`` (common.cxx:644-689)
+
+All functions are pure and jit-friendly: mode indices are static Python ints,
+einsum specs are generated at trace time, and ``optimize=True`` lets
+opt_einsum pick the pairwise chain (which is exactly the reference's
+one-matrix-at-a-time scheme, but ordered for minimal FLOPs). Large
+contractions therefore lower to MXU matmuls fused by XLA.
+"""
+
+from __future__ import annotations
+
+import string
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pairwise_perturbation_tpu import config
+
+# Mode axes use lowercase letters; rank axes use uppercase (jnp.einsum
+# accepts both). Supports tensors up to order 26.
+_MODES = string.ascii_lowercase
+_RANK = "Z"
+_RANK2 = "Y"
+
+
+def _prec(precision):
+    return config.default_precision() if precision is None else precision
+
+
+def _einsum(spec, *ops, precision=None):
+    return jnp.einsum(spec, *ops, optimize=True, precision=_prec(precision))
+
+
+# ---------------------------------------------------------------------------
+# CP primitives
+# ---------------------------------------------------------------------------
+
+
+def mttkrp(V, factors: Sequence, mode: int, precision=None):
+    """Exact MTTKRP for ``mode``: M[i_mode, r] = sum V * prod_{j != mode} W_j.
+
+    Reference: ``KhatriRao_contract`` — M["dk"] = V["abcd"] W1["ak"] W2["bk"]
+    W3["ck"] (common.cxx:929).
+    """
+    order = V.ndim
+    il = _MODES[:order]
+    terms, ops = [il], [V]
+    for j in range(order):
+        if j == mode:
+            continue
+        terms.append(il[j] + _RANK)
+        ops.append(factors[j])
+    spec = ",".join(terms) + "->" + il[mode] + _RANK
+    return _einsum(spec, *ops, precision=precision)
+
+
+def contract_mode_kr(T, rem_modes: Tuple[int, ...], has_rank: bool, factor,
+                     mode: int, precision=None):
+    """Contract one mode of a partial-MTTKRP intermediate with a factor.
+
+    ``T`` has axes ``rem_modes`` (original mode ids, ascending) plus a
+    trailing rank axis when ``has_rank``. Contracting mode ``m`` with
+    W_m[s_m, R] removes that axis, Khatri-Rao-style (diagonal in the rank
+    axis once it exists). This is the single step of the reference's
+    chain contraction V["acd*"] * W["d*"] (als_CP.cxx:383-384).
+    """
+    pos = rem_modes.index(mode)
+    k = len(rem_modes)
+    letters = _MODES[:k]
+    t_spec = letters + (_RANK if has_rank else "")
+    f_spec = letters[pos] + _RANK
+    out_spec = letters[:pos] + letters[pos + 1:] + _RANK
+    out = _einsum(f"{t_spec},{f_spec}->{out_spec}", T, factor,
+                  precision=precision)
+    return out, rem_modes[:pos] + rem_modes[pos + 1:]
+
+
+def partial_mttkrp(V, factors: Sequence, contract_modes: Sequence[int],
+                   precision=None):
+    """Chain-contract ``V`` with the factors of ``contract_modes`` (in order).
+
+    Returns a tensor whose axes are the remaining modes (ascending original
+    order) followed by the rank axis. With all-but-one mode contracted this
+    is the exact MTTKRP; with all-but-two it is a PP pair cache
+    T_{ij}[s_i, s_j, R].
+    """
+    order = V.ndim
+    T, rem, has_rank = V, tuple(range(order)), False
+    for m in contract_modes:
+        T, rem = contract_mode_kr(T, rem, has_rank, factors[m], m,
+                                  precision=precision)
+        has_rank = True
+    return T
+
+
+def build_pp_caches(V, factors: Sequence, precision=None):
+    """Build all PP caches: pair tensors T_{ij}[s_i, s_j, R] for i<j and
+    single matrices M_i[s_i, R].
+
+    Mirrors the reference's ``Build_mttkrp_map`` calls over all (ii, jj)
+    pairs then all singles (als_CP.cxx:676-694), including the memoized
+    prefix reuse (als_CP.cxx:385-389): cache keys are the *contracted* mode
+    tuples; a chain sharing a prefix reuses the prefix intermediate.
+    Intended to be called inside jit so XLA fuses the whole build.
+    """
+    order = V.ndim
+    memo: Dict[Tuple[int, ...], Tuple] = {(): (V, tuple(range(order)), False)}
+
+    def get(key: Tuple[int, ...]):
+        if key not in memo:
+            T, rem, has_rank = get(key[:-1])
+            T2, rem2 = contract_mode_kr(T, rem, has_rank, factors[key[-1]],
+                                        key[-1], precision=precision)
+            memo[key] = (T2, rem2, True)
+        return memo[key]
+
+    pair = {}
+    for i in range(order):
+        for j in range(i + 1, order):
+            key = tuple(m for m in range(order) if m not in (i, j))
+            pair[(i, j)] = get(key)[0]
+    single = {}
+    for i in range(order):
+        key = tuple(m for m in range(order) if m != i)
+        single[i] = get(key)[0]
+    return single, pair
+
+
+def pp_correct_mttkrp(single_i, pair, dWs: Sequence, i: int, precision=None):
+    """First-order PP-corrected MTTKRP for mode ``i``:
+
+    M~_i = M_i + sum_{j<i} T_{ji} x_j dW_j + sum_{j>i} T_{ij} x_j dW_j
+
+    Reference: als_CP.cxx:778-794. ``pair[(a, b)]`` has axes (s_a, s_b, R).
+    """
+    order = len(dWs)
+    M = single_i
+    for j in range(order):
+        if j == i:
+            continue
+        if j < i:
+            M = M + _einsum("abZ,aZ->bZ", pair[(j, i)], dWs[j],
+                            precision=precision)
+        else:
+            M = M + _einsum("abZ,bZ->aZ", pair[(i, j)], dWs[j],
+                            precision=precision)
+    return M
+
+
+def khatri_rao(factors: Sequence, precision=None):
+    """Explicit Khatri-Rao product tensor H[s_1, ..., s_k, R].
+
+    Reference: ``KhatriRaoProduct`` (common.cxx:889-920).
+    """
+    k = len(factors)
+    terms = [(_MODES[j] + _RANK) for j in range(k)]
+    spec = ",".join(terms) + "->" + _MODES[:k] + _RANK
+    return _einsum(spec, *factors, precision=precision)
+
+
+def gram(W, precision=None):
+    """W^T W (R x R)."""
+    return _einsum("iZ,iY->ZY".replace("Z", "a").replace("Y", "b"), W, W,
+                   precision=precision)
+
+
+def hadamard_gram(factors: Sequence, skip_mode: int = -1, regul=None,
+                  precision=None):
+    """S = Hadamard product of W_j^T W_j over j != skip_mode (+ lambda I).
+
+    Reference: S["ij"] = prod (W[idx]["ki"] W[idx]["kj"]) (+ regul)
+    (als_CP.cxx:573-578, cp_als_optimizer.cxx update_S).
+    """
+    S = None
+    for j, W in enumerate(factors):
+        if j == skip_mode:
+            continue
+        G = gram(W, precision=precision)
+        S = G if S is None else S * G
+    if regul is not None:
+        R = S.shape[0]
+        S = S + regul * jnp.eye(R, dtype=S.dtype)
+    return S
+
+
+def build_dense(factors: Sequence, precision=None):
+    """Reconstruct the dense rank-R CP tensor from factors.
+
+    Reference: ``build_V`` (common.cxx:135-197). O(s^N) output — use only
+    for small tensors / tests; solvers use :func:`cp_residual_norm`.
+    """
+    k = len(factors)
+    terms = [(_MODES[j] + _RANK) for j in range(k)]
+    spec = ",".join(terms) + "->" + _MODES[:k]
+    return _einsum(spec, *factors, precision=precision)
+
+
+def cp_gradient(V, factors: Sequence, regul=None, precision=None):
+    """Full CP gradient for all modes: grad_i = -M_i + W_i S_i.
+
+    Reference: ``gradient_CP`` (common.cxx:1009-1052).
+    """
+    grads = []
+    for i in range(len(factors)):
+        M = mttkrp(V, factors, i, precision=precision)
+        S = hadamard_gram(factors, skip_mode=i, regul=regul,
+                          precision=precision)
+        grads.append(-M + factors[i] @ S)
+    return grads
+
+
+def gradsubprob(M, S, W):
+    """grad = -M + W S (common.cxx:1002-1004)."""
+    return -M + W @ S
+
+
+def cp_residual_norm(V_norm_sq, M_last, factors: Sequence, precision=None):
+    """|| V - [[W_1 .. W_N]] ||_F via the norm identity:
+
+    ||V - Vhat||^2 = ||V||^2 - 2 <M_N, W_N> + 1^T (hadamard of all Grams) 1
+
+    where M_N is the *exact* MTTKRP of the last mode. Replaces the
+    reference's full ``build_V`` reconstruction diagnostic
+    (als_CP.cxx:474-479) at the cost of one MTTKRP and no O(s^N) temp.
+    """
+    last = len(factors) - 1
+    inner = jnp.sum(M_last * factors[last])
+    S_all = hadamard_gram(factors, skip_mode=-1, precision=precision)
+    vhat_sq = jnp.sum(S_all)
+    return jnp.sqrt(jnp.maximum(V_norm_sq - 2.0 * inner + vhat_sq, 0.0))
+
+
+def cp_residual_exact(V, factors: Sequence, precision=None):
+    """Exact reconstruction residual (test oracle)."""
+    Vhat = build_dense(factors, precision=precision)
+    return jnp.linalg.norm((V - Vhat).ravel())
+
+
+def normalize_factors(factors: Sequence, precision=None):
+    """Rebalance all factor Frobenius norms to their geometric mean.
+
+    Reference: ``Normalize`` (common.cxx:680-689).
+    """
+    norms = [jnp.linalg.norm(W.ravel()) for W in factors]
+    target = jnp.prod(jnp.stack(norms)) ** (1.0 / len(factors))
+    return [W * (target / n) for W, n in zip(factors, norms)]
+
+
+# ---------------------------------------------------------------------------
+# Tucker primitives
+# ---------------------------------------------------------------------------
+
+
+def ttmc_contract_mode(T, factor, axis: int, transpose: bool = False,
+                       precision=None):
+    """Contract one mode of ``T`` with a factor, keeping axis position.
+
+    ``factor`` is (s, r); the axis of length s becomes length r (or the
+    reverse when ``transpose``). Single step of ``TTMc``
+    (als_Tucker.cxx:95-108).
+    """
+    k = T.ndim
+    letters = _MODES[:k]
+    t_spec = letters
+    f_spec = (letters[axis] + _RANK) if not transpose else (_RANK + letters[axis])
+    out_spec = letters[:axis] + _RANK + letters[axis + 1:]
+    return _einsum(f"{t_spec},{f_spec}->{out_spec}", T, factor,
+                   precision=precision)
+
+
+def ttmc(V, factors: Sequence, skip_mode: int = -1, transpose: bool = False,
+         precision=None):
+    """Tensor-times-matrix chain over all modes except ``skip_mode``.
+
+    ``skip_mode=-1`` contracts every mode (the core update). With
+    ``transpose=True`` the factors map rank -> size (reconstruction,
+    als_Tucker.cxx:303 uses W^T the same way).
+
+    Implemented as one einsum with distinct output letters per contracted
+    mode so opt_einsum orders the chain optimally.
+    """
+    order = V.ndim
+    in_letters = _MODES[:order]
+    out_letters = list(in_letters)
+    terms, ops = [in_letters], [V]
+    rank_letters = string.ascii_uppercase
+    k = 0
+    for j in range(order):
+        if j == skip_mode:
+            continue
+        rl = rank_letters[k]
+        k += 1
+        terms.append((in_letters[j] + rl) if not transpose else (rl + in_letters[j]))
+        ops.append(factors[j])
+        out_letters[j] = rl
+    spec = ",".join(terms) + "->" + "".join(out_letters)
+    return _einsum(spec, *ops, precision=precision)
+
+
+def build_ttmc_caches(V, factors: Sequence, precision=None):
+    """PP caches for Tucker: pair tensors (modes i, j uncontracted) and
+    single tensors (mode i uncontracted), with memoized prefix reuse.
+
+    Mirrors ``Build_ttmc_map`` over all pairs then singles
+    (als_Tucker.cxx:744-760). Axis positions are preserved: contracted
+    modes have rank-sized axes.
+    """
+    order = V.ndim
+    memo: Dict[Tuple[int, ...], object] = {(): V}
+
+    def get(key: Tuple[int, ...]):
+        if key not in memo:
+            T = get(key[:-1])
+            memo[key] = ttmc_contract_mode(T, factors[key[-1]], key[-1],
+                                           precision=precision)
+        return memo[key]
+
+    pair = {}
+    for i in range(order):
+        for j in range(i + 1, order):
+            key = tuple(m for m in range(order) if m not in (i, j))
+            pair[(i, j)] = get(key)
+    single = {}
+    for i in range(order):
+        key = tuple(m for m in range(order) if m != i)
+        single[i] = get(key)
+    return single, pair
+
+
+def pp_correct_ttmc(single_i, pair, dWs: Sequence, i: int, precision=None):
+    """First-order PP-corrected TTMc for mode ``i``:
+
+    Y~_i = Y_i + sum_{j != i} cache_{ij} x_j dW_j
+
+    Reference: als_Tucker.cxx:835-859.
+    """
+    order = len(dWs)
+    Y = single_i
+    for j in range(order):
+        if j == i:
+            continue
+        cache = pair[(min(i, j), max(i, j))]
+        Y = Y + ttmc_contract_mode(cache, dWs[j], j, precision=precision)
+    return Y
+
+
+def mode_gram(T, axis: int, precision=None):
+    """Gram matrix of the mode-``axis`` unfolding: T_(i) T_(i)^T.
+
+    Reference: ``unroll_tensor_contraction`` (common.cxx:205-223).
+    """
+    k = T.ndim
+    letters = _MODES[:k]
+    a_spec = letters[:axis] + _RANK + letters[axis + 1:]
+    b_spec = letters[:axis] + _RANK2 + letters[axis + 1:]
+    return _einsum(f"{a_spec},{b_spec}->{_RANK}{_RANK2}", T, T,
+                   precision=precision)
+
+
+def tucker_residual_norm(V_norm_sq, core_exact, core, precision=None):
+    """|| V - core x_i W_i ||_F with orthonormal W via the norm identity:
+
+    ||V - Vhat||^2 = ||V||^2 - 2 <TTMc(V, W), core> + ||core||^2.
+
+    Replaces the reconstruction check at als_Tucker.cxx:296-311.
+    ``core_exact`` = TTMc(V, W, -1) with the current factors.
+    """
+    inner = jnp.sum(core_exact * core)
+    core_sq = jnp.sum(core * core)
+    return jnp.sqrt(jnp.maximum(V_norm_sq - 2.0 * inner + core_sq, 0.0))
+
+
+def fold_unfold(X, shape):
+    """Reshape preserving global (row-major) element order.
+
+    Reference: ``fold_unfold`` (common.cxx:870-880).
+    """
+    return X.reshape(shape)
