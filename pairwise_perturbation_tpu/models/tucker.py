@@ -1,0 +1,376 @@
+"""Tucker decomposition: HOSVD init, HOOI (plain ALS), dimension-tree ALS,
+and pairwise-perturbation ALS with SVD sign-fixing.
+
+TPU-native re-design of the reference Tucker engine (als_Tucker.cxx):
+
+- :func:`hosvd`            <-> ``hosvd`` / ``get_factor_matrices`` /
+                               ``get_core_tensor`` (als_Tucker.cxx:12-70)
+- :func:`als_tucker`       <-> ``alsTucker`` (HOOI, als_Tucker.cxx:120-176)
+- :func:`als_tucker_dt`    <-> ``alsTucker_DT`` (als_Tucker.cxx:240-424)
+- :func:`als_tucker_pp`    <-> ``alsTucker_PP`` = ``alsTucker_DT_sub`` <->
+                               ``alsTucker_PP_sub`` machine with the
+                               tol_init *= 0.9 decay (als_Tucker.cxx:476-962)
+
+Factor updates take the leading r_i left singular vectors of the mode-i
+unfolding of Y = TTMc(V, W, skip=i), computed via the s_i x s_i Gram +
+eigh (the reference's unroll_tensor_contraction + ScaLAPACK SVD trick).
+Column signs are aligned against the previous factors so that PP's dW
+perturbations are meaningful (als_Tucker.cxx:632-643, 874-885).
+
+Diagnostics use ||V - core x W||^2 = ||V||^2 - ||core||^2 (orthonormal W,
+core = TTMc(V, W)) instead of full reconstruction (als_Tucker.cxx:296-311).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pairwise_perturbation_tpu.ops import contract, dimtree, solve
+from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
+
+
+@dataclass
+class TuckerConfig:
+    tol: float = 1e-10
+    pp_res_tol: float = 1e-2
+    maxiter: int = 250
+    timelimit: float = 5e3
+    resprint: int = 1
+    bench: bool = False
+    tol_init_decay: float = 0.9      # als_Tucker.cxx:947-948
+    tol_init_floor: float = 5e-3
+
+
+@dataclass
+class TuckerResult:
+    factors: List
+    core: object
+    diffnorm: float
+    diffV: float
+    iters: int
+    converged: bool
+    history: list = field(default_factory=list)
+
+
+class TuckerBinaryTreeSweep:
+    """Lazy binary-tree TTMc cache: node (lo, hi) = V with every mode outside
+    [lo, hi] contracted with its factor (axis positions preserved).
+
+    Mirrors ``ttmc_map_DT`` (als_Tucker.cxx:178-230) including top-level
+    nodes built directly from V.
+    """
+
+    def __init__(self, V, factors: Sequence, precision=None):
+        self.V = V
+        self.factors = list(factors)
+        self.order = V.ndim
+        self.precision = precision
+        self.parent = dimtree.binary_parent_map(self.order)
+        self._memo: Dict[Tuple[int, int], object] = {}
+
+    def node(self, lo: int, hi: int):
+        key = (lo, hi)
+        if key in self._memo:
+            return self._memo[key]
+        order = self.order
+        plo, phi = self.parent[key]
+        if (plo, phi) == (0, order - 1):
+            T = self.V
+        else:
+            T = self.node(plo, phi)
+        for m in range(plo, phi + 1):
+            if lo <= m <= hi:
+                continue
+            T = contract.ttmc_contract_mode(T, self.factors[m], m,
+                                            precision=self.precision)
+        self._memo[key] = T
+        return T
+
+    def ttmc(self, i: int):
+        """Y_i: all modes except i contracted."""
+        return self.node(i, i)
+
+
+# ---------------------------------------------------------------------------
+# Jitted kernels
+# ---------------------------------------------------------------------------
+
+
+def _factor_from_Y(Y, i: int, r: int, sign_ref=None):
+    """Leading left singular vectors of the mode-i unfolding of Y via Gram +
+    eigh; deterministic column signs, optionally aligned to ``sign_ref``."""
+    G = contract.mode_gram(Y, i)
+    U, _ = solve.truncated_eigh(G, r)
+    U = solve.fix_sign_columns(U)
+    if sign_ref is not None:
+        U = solve.sign_match(U, sign_ref)
+    return U
+
+
+@partial(jax.jit, static_argnames=("ranks", "use_sign"))
+def tucker_dt_sweep(V, Ws, sign_refs, *, ranks: Tuple[int, ...],
+                    use_sign: bool):
+    """One DT Tucker sweep: per-mode tree TTMc -> Gram -> eigh -> sign fix;
+    core from the last mode's Y (als_Tucker.cxx:342-408, 568-645).
+    Returns (Ws_new, core)."""
+    order = V.ndim
+    Ws = list(Ws)
+    sweep = TuckerBinaryTreeSweep(V, Ws)
+    Y_end = None
+    for i in range(order):
+        Y = sweep.ttmc(i)
+        if i == order - 1:
+            Y_end = Y
+        ref = sign_refs[i] if use_sign else None
+        U = _factor_from_Y(Y, i, ranks[i], ref)
+        sweep.factors[i] = U
+    Ws = sweep.factors
+    core = contract.ttmc_contract_mode(Y_end, Ws[order - 1], order - 1)
+    return Ws, core
+
+
+@partial(jax.jit, static_argnames=("ranks",))
+def tucker_hooi_sweep(V, Ws, *, ranks: Tuple[int, ...]):
+    """One plain HOOI sweep (alsTucker body, als_Tucker.cxx:148-163)."""
+    order = V.ndim
+    Ws = list(Ws)
+    for i in range(order):
+        Y = contract.ttmc(V, Ws, skip_mode=i)
+        Ws[i] = _factor_from_Y(Y, i, ranks[i])
+    core = contract.ttmc(V, Ws, skip_mode=-1)
+    return Ws, core
+
+
+@jax.jit
+def tucker_build_caches(V, Ws):
+    return contract.build_ttmc_caches(V, Ws)
+
+
+@partial(jax.jit, static_argnames=("ranks",))
+def tucker_pp_sweep(single, pair, Ws, W_init, dWs, *, ranks: Tuple[int, ...]):
+    """One PP Tucker sweep (als_Tucker.cxx:823-891): corrected TTMc from
+    caches, eigh factor update, sign fix vs W_init, cumulative dW.
+    Returns (Ws_new, dWs_new, core)."""
+    order = len(Ws)
+    Ws = list(Ws)
+    dWs = list(dWs)
+    Y_end = None
+    for i in range(order):
+        Y = contract.pp_correct_ttmc(single[i], pair, dWs, i)
+        if i == order - 1:
+            Y_end = Y
+        U = _factor_from_Y(Y, i, ranks[i], W_init[i])
+        Ws[i] = U
+        dWs[i] = U - W_init[i]
+    core = contract.ttmc_contract_mode(Y_end, Ws[order - 1], order - 1)
+    return Ws, dWs, core
+
+
+@jax.jit
+def tucker_diagnostics(V_norm_sq, V, Ws, core_prev_norm):
+    """(core_fresh, core_norm, diffnorm, diffV) with
+    diffV^2 = ||V||^2 - ||core||^2 (orthonormal factors)."""
+    core = contract.ttmc(V, Ws, skip_mode=-1)
+    cn = jnp.linalg.norm(core.ravel())
+    diffnorm = jnp.abs(cn - core_prev_norm)
+    diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
+    return core, cn, diffnorm, diffV
+
+
+# ---------------------------------------------------------------------------
+# HOSVD
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ranks",))
+def _hosvd_jit(V, *, ranks: Tuple[int, ...]):
+    order = V.ndim
+    Ws = []
+    for i in range(order):
+        G = contract.mode_gram(V, i)
+        U, _ = solve.truncated_eigh(G, ranks[i])
+        Ws.append(solve.fix_sign_columns(U))
+    core = contract.ttmc(V, Ws, skip_mode=-1)
+    return Ws, core
+
+
+def hosvd(V, ranks: Sequence[int]):
+    """HOSVD initialization (als_Tucker.cxx:66-70). Returns (core, factors)."""
+    Ws, core = _hosvd_jit(jnp.asarray(V), ranks=tuple(int(r) for r in ranks))
+    return core, Ws
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+
+def _diag_and_log(V_norm_sq, V, Ws, core_prev_norm, clock, plot, it, tol,
+                  pp_flag, history):
+    with clock.exclude():
+        core, cn, diffnorm, diffV = tucker_diagnostics(
+            V_norm_sq, V, Ws, core_prev_norm)
+        cn, diffnorm, diffV = float(cn), float(diffnorm), float(diffV)
+    dtime = clock.dtime()
+    if plot is not None:
+        plot.row(V.shape[0], it, diffnorm, tol, pp_flag, diffV, dtime)
+    history.append(dict(iter=it, diffnorm=diffnorm, diffV=diffV, dtime=dtime,
+                        pp=pp_flag))
+    return core, cn, diffnorm, diffV, dtime
+
+
+def als_tucker(V, ranks, cfg: TuckerConfig,
+               plot: Optional[PlotFile] = None,
+               Ws: Optional[List] = None, use_tree: bool = True,
+               clock: Optional[SweepClock] = None) -> TuckerResult:
+    """Tucker ALS (HOOI); ``use_tree`` selects the DT variant.
+
+    Reference: alsTucker (als_Tucker.cxx:120-176) / alsTucker_DT
+    (als_Tucker.cxx:240-424). Initialized by HOSVD like the driver
+    (test_ALS.cxx:386-395).
+    """
+    V = jnp.asarray(V)
+    ranks = tuple(int(r) for r in ranks)
+    V_norm_sq = jnp.vdot(V, V)
+    if Ws is None:
+        core, Ws = hosvd(V, ranks)
+    else:
+        Ws = [jnp.asarray(W) for W in Ws]
+        core = contract.ttmc(V, Ws, skip_mode=-1)
+    clock = clock or SweepClock()
+    history: list = []
+    core_prev_norm = jnp.linalg.norm(core.ravel())
+    diffnorm, diffV = float("inf"), float("inf")
+    it = 0
+    converged = False
+    while it <= cfg.maxiter:
+        if (it % cfg.resprint == 0 and it != 0) or it == 1 or it == cfg.maxiter:
+            core, core_prev_norm, diffnorm, diffV, dtime = _diag_and_log(
+                V_norm_sq, V, Ws, core_prev_norm, clock, plot, it, cfg.tol, 0,
+                history)
+            if diffnorm < cfg.tol:
+                converged = True
+                break
+            if dtime > cfg.timelimit:
+                break
+        if use_tree:
+            Ws, core = tucker_dt_sweep(V, Ws, Ws, ranks=ranks, use_sign=False)
+        else:
+            Ws, core = tucker_hooi_sweep(V, Ws, ranks=ranks)
+        it += 1
+    return TuckerResult(Ws, core, diffnorm, diffV, it, converged, history)
+
+
+def _tucker_dt_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
+    """alsTucker_DT_sub (als_Tucker.cxx:476-669)."""
+    order = V.ndim
+    W_prev = [jnp.zeros_like(W) for W in Ws]
+    while state["iter"] <= cfg.maxiter:
+        it = state["iter"]
+        if (it % cfg.resprint == 0 and it != 0) or it == 1 or it == cfg.maxiter:
+            core, cn, diffnorm, diffV, dtime = _diag_and_log(
+                V_norm_sq, V, Ws, state["core_prev_norm"], clock, plot, it,
+                cfg.tol, 0, state["history"])
+            state.update(core=core, core_prev_norm=cn, diffnorm=diffnorm,
+                         diffV=diffV)
+            if diffnorm < cfg.tol:
+                return Ws, dWs, "converged"
+            if dtime > cfg.timelimit:
+                return Ws, dWs, "timelimit"
+        Ws_new, core = tucker_dt_sweep(V, Ws, W_prev, ranks=ranks,
+                                       use_sign=True)
+        state["core"] = core
+        dWs = [W - Wp for W, Wp in zip(Ws_new, W_prev)]
+        W_prev = [W for W in Ws_new]
+        Ws = Ws_new
+        from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+        ratios = np.asarray(factor_norm_ratios(Ws, dWs))
+        state["iter"] = it + 1
+        if int(np.sum(np.abs(ratios) < state["tol_init"])) == order:
+            return Ws, dWs, "quiet"
+    return Ws, dWs, "maxiter"
+
+
+def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
+    """alsTucker_PP_sub (als_Tucker.cxx:679-896)."""
+    order = V.ndim
+    init_iter = state["iter"]
+    W_init = None
+    single = pair = None
+    from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+    while state["iter"] <= cfg.maxiter:
+        it = state["iter"]
+        num_dw_break = 0
+        if not cfg.bench:
+            ratios = np.asarray(factor_norm_ratios(Ws, dWs))
+            num_dw_break = int(np.sum(np.abs(ratios) > state["tol_init"]))
+        if it == init_iter or num_dw_break > 0:
+            if num_dw_break > 0:
+                return Ws, dWs, "restart"
+            W_init = [W for W in Ws]
+            dWs = [jnp.zeros_like(W) for W in Ws]
+            single, pair = tucker_build_caches(V, Ws)
+        if (it % cfg.resprint == 0 and it != 0) or it == 1 \
+                or it == cfg.maxiter or it == init_iter:
+            core, cn, diffnorm, diffV, dtime = _diag_and_log(
+                V_norm_sq, V, Ws, state["core_prev_norm"], clock, plot, it,
+                cfg.tol, 1, state["history"])
+            state.update(core=core, core_prev_norm=cn, diffnorm=diffnorm,
+                         diffV=diffV)
+            if diffnorm < cfg.tol:
+                return Ws, dWs, "converged"
+            if dtime > cfg.timelimit:
+                return Ws, dWs, "timelimit"
+            if it == cfg.maxiter:
+                return Ws, dWs, "maxiter"
+        Ws, dWs, core = tucker_pp_sweep(single, pair, Ws, W_init, dWs,
+                                        ranks=ranks)
+        state["core"] = core
+        state["iter"] = it + 1
+    return Ws, dWs, "maxiter"
+
+
+def als_tucker_pp(V, ranks, cfg: TuckerConfig,
+                  plot: Optional[PlotFile] = None,
+                  Ws: Optional[List] = None,
+                  clock: Optional[SweepClock] = None) -> TuckerResult:
+    """Outer Tucker DT <-> PP loop with tol_init decay
+    (alsTucker_PP, als_Tucker.cxx:906-962)."""
+    V = jnp.asarray(V)
+    ranks = tuple(int(r) for r in ranks)
+    V_norm_sq = jnp.vdot(V, V)
+    if Ws is None:
+        core, Ws = hosvd(V, ranks)
+    else:
+        Ws = [jnp.asarray(W) for W in Ws]
+        core = contract.ttmc(V, Ws, skip_mode=-1)
+    clock = clock or SweepClock()
+    state = dict(iter=0, core=core,
+                 core_prev_norm=jnp.linalg.norm(core.ravel()),
+                 diffnorm=float("inf"), diffV=float("inf"),
+                 tol_init=cfg.pp_res_tol, history=[])
+    dWs = [jnp.zeros_like(W) for W in Ws]
+    reason = None
+    while state["diffnorm"] > cfg.tol and state["iter"] <= cfg.maxiter:
+        if not cfg.bench:
+            Ws, dWs, reason = _tucker_dt_sub(V, Ws, dWs, ranks, cfg, plot,
+                                             clock, state, V_norm_sq)
+            if reason in ("converged", "timelimit", "maxiter"):
+                break
+        Ws, dWs, reason = _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock,
+                                         state, V_norm_sq)
+        if reason in ("converged", "timelimit", "maxiter"):
+            break
+        if cfg.bench:
+            break
+        if state["tol_init"] > cfg.tol_init_floor:
+            state["tol_init"] *= cfg.tol_init_decay
+    return TuckerResult(Ws, state["core"], state["diffnorm"], state["diffV"],
+                        state["iter"], reason == "converged",
+                        state["history"])

@@ -1,0 +1,95 @@
+"""Tucker solver tests: HOSVD exactness, HOOI==DT equivalence, PP trajectory."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pairwise_perturbation_tpu.models import tucker
+from pairwise_perturbation_tpu.ops import contract
+
+
+def low_rank_tucker_tensor(rng, shape, ranks):
+    core = rng.standard_normal(ranks)
+    Ws = [np.linalg.qr(rng.standard_normal((s, r)))[0]
+          for s, r in zip(shape, ranks)]
+    V = np.einsum("PQR,aP,bQ,cR->abc", core, *Ws) if len(shape) == 3 else \
+        np.einsum("PQRS,aP,bQ,cR,dS->abcd", core, *Ws)
+    return V, core, Ws
+
+
+def test_hosvd_exact_recovery(rng):
+    shape, ranks = (8, 9, 10), (3, 4, 5)
+    V, _, _ = low_rank_tucker_tensor(rng, shape, ranks)
+    core, Ws = tucker.hosvd(V, ranks)
+    # factors orthonormal
+    for W in Ws:
+        np.testing.assert_allclose(np.asarray(W.T @ W), np.eye(W.shape[1]),
+                                   atol=1e-8)
+    # exact low-rank tensor: HOSVD reconstruction is exact
+    recon = np.asarray(contract.ttmc(core, Ws, skip_mode=-1, transpose=True))
+    np.testing.assert_allclose(recon, V, atol=1e-8)
+
+
+def test_hooi_equals_dt_sweep(rng):
+    shape, ranks = (6, 7, 8, 9), (2, 3, 2, 3)
+    V = rng.standard_normal(shape)
+    jV = jnp.asarray(V)
+    core, Ws = tucker.hosvd(jV, ranks)
+    Ws_dt, core_dt = tucker.tucker_dt_sweep(jV, Ws, Ws, ranks=ranks,
+                                            use_sign=False)
+    Ws_ho, core_ho = tucker.tucker_hooi_sweep(jV, Ws, ranks=ranks)
+    for a, b in zip(Ws_dt, Ws_ho):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(core_dt), np.asarray(core_ho),
+                               atol=1e-7)
+
+
+def test_tucker_dt_converges_exact(rng):
+    shape, ranks = (8, 8, 8), (3, 3, 3)
+    V, _, _ = low_rank_tucker_tensor(rng, shape, ranks)
+    cfg = tucker.TuckerConfig(tol=1e-10 * np.linalg.norm(V), maxiter=50,
+                              resprint=1)
+    res = tucker.als_tucker(V, ranks, cfg)
+    assert res.diffV < 1e-6 * np.linalg.norm(V)
+
+
+def test_tucker_random_truncated(rng):
+    """Random tensor (r2 fixture, fill_random(0.5,1)): truncated Tucker
+    captures most of the mass."""
+    shape, ranks = (8, 8, 8), (3, 3, 3)
+    V = rng.uniform(0.5, 1.0, size=shape)
+    cfg = tucker.TuckerConfig(tol=1e-8 * np.linalg.norm(V), maxiter=30,
+                              resprint=1)
+    res = tucker.als_tucker(V, ranks, cfg)
+    assert res.diffV < 0.2 * np.linalg.norm(V)
+
+
+def test_tucker_pp_runs_and_matches_dt(rng):
+    shape, ranks = (8, 8, 8, 8), (3, 3, 3, 3)
+    V, _, _ = low_rank_tucker_tensor(rng, shape, ranks)
+    V = V + 0.02 * np.linalg.norm(V) / (np.prod(shape) ** 0.5) \
+        * rng.standard_normal(shape)
+    Vn = np.linalg.norm(V)
+    cfg_pp = tucker.TuckerConfig(tol=1e-12 * Vn, pp_res_tol=0.3, maxiter=40,
+                                 resprint=2)
+    res_pp = tucker.als_tucker_pp(V, ranks, cfg_pp)
+    pp_rows = [h for h in res_pp.history if h["pp"] == 1]
+    assert pp_rows, "Tucker PP phase never entered"
+    cfg_dt = tucker.TuckerConfig(tol=1e-12 * Vn, maxiter=40, resprint=2)
+    res_dt = tucker.als_tucker(V, ranks, cfg_dt)
+    assert res_pp.diffV < max(10 * res_dt.diffV, 1e-5 * Vn)
+
+
+def test_sign_fix_keeps_dw_small(rng):
+    """With sign alignment, successive DT sweeps on a converged problem give
+    tiny dW; without it, eigenvector sign flips would make dW ~ ||W||."""
+    shape, ranks = (8, 8, 8), (3, 3, 3)
+    V, _, _ = low_rank_tucker_tensor(rng, shape, ranks)
+    jV = jnp.asarray(V)
+    core, Ws = tucker.hosvd(jV, ranks)
+    W_prev = Ws
+    Ws1, _ = tucker.tucker_dt_sweep(jV, Ws, W_prev, ranks=ranks, use_sign=True)
+    Ws2, _ = tucker.tucker_dt_sweep(jV, Ws1, Ws1, ranks=ranks, use_sign=True)
+    for a, b in zip(Ws1, Ws2):
+        rel = float(jnp.linalg.norm((a - b).ravel()) / jnp.linalg.norm(a.ravel()))
+        assert rel < 1e-6
