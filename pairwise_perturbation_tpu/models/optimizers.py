@@ -1,0 +1,431 @@
+"""Second-generation optimizer framework: CPD + optimizer policy classes.
+
+TPU-native re-design of the reference's refactored OO layer (``src/``):
+
+- :class:`Decomposition`      <-> src/decomposition.h:8-36
+- :class:`CPD`                <-> src/CP.h / src/CP.cxx (the ``als`` loop)
+- :class:`CPSimpleOptimizer`  <-> src/optimizer/cp_simple_optimizer.{h,cxx}
+- :class:`CPDTOptimizer`      <-> src/optimizer/cp_dt_optimizer.{h,cxx}
+                                  (two-subtree dimension tree, 0.5 sweeps/step)
+- :class:`CPMSDTOptimizer`    <-> src/optimizer/cp_msdt_optimizer.{h,cxx}
+                                  (multi-sweep DT, (N-1)/N sweeps/step,
+                                  arXiv:2010.12056)
+- :class:`CPDTLROptimizer`    <-> src/optimizer/cp_dt_lr_optimizer.{h,cxx}
+- :class:`CPMSDTLROptimizer`  <-> src/optimizer/cp_msdt_lr_optimizer.{h,cxx}
+
+Each ``step()`` dispatches one jitted XLA computation per (left_index,
+positions) signature — at most O(order) compiled variants reused across all
+steps. Factor/state rotation stays in host Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pairwise_perturbation_tpu.ops import contract, dimtree, solve
+from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
+
+
+def rotation_indexes(left_index: int, order: int) -> Tuple[int, ...]:
+    """indexes = [left+1 .. order-1, 0 .. left-1]
+    (cp_msdt_optimizer.cxx:update_indexes)."""
+    return tuple(list(range(left_index + 1, order)) + list(range(left_index)))
+
+
+@partial(jax.jit, static_argnames=("left_index",))
+def chain_top(V, W_left, *, left_index: int):
+    """First-level contraction V x W[left_index], axes in indexes order + rank
+    (mttkrp_map_init, cp_msdt_optimizer.cxx:111-144)."""
+    order = V.ndim
+    sweep = dimtree.ChainTreeSweep(
+        V, [W_left if i == left_index else None for i in range(order)],
+        rotation_indexes(left_index, order), left_index)
+    return sweep.top()
+
+
+@partial(jax.jit, static_argnames=("left_index", "positions", "solver"))
+def chain_step(V, top, Ws, lam, *, left_index: int,
+               positions: Tuple[int, ...], solver: str = "chol"):
+    """Process tree positions in order: per-position MTTKRP from the chain
+    tree, S assembly, gradient, solve (CPDTOptimizer::step /
+    CPMSDTOptimizer::step). Returns (Ws_new, grads_by_position)."""
+    order = V.ndim
+    indexes = rotation_indexes(left_index, order)
+    sweep = dimtree.ChainTreeSweep(V, list(Ws), indexes, left_index, top=top)
+    grads = []
+    for pos in positions:
+        M = sweep.mttkrp(pos)
+        i = indexes[pos]
+        S = contract.hadamard_gram(sweep.factors, skip_mode=i, regul=lam)
+        grads.append(contract.gradsubprob(M, S, sweep.factors[i]))
+        sweep.factors[i] = solve.solve(M, S, method=solver)
+    return sweep.factors, grads
+
+
+@partial(jax.jit, static_argnames=("left_index", "positions", "solver",
+                                   "lr_pos", "update_rank", "randomsvd",
+                                   "lr_from_old"))
+def chain_step_lr(V, top, Ws, lam, old_W_lr, key, *, left_index: int,
+                  positions: Tuple[int, ...], solver: str, lr_pos: int,
+                  update_rank: int, randomsvd: bool, lr_from_old: bool):
+    """Like :func:`chain_step` but the position ``lr_pos`` is solved as a
+    rank-``update_rank`` *update*: (U, s, VT) of dW = M pinv(S) - A with
+    A = old_W_lr (MSDT-LR) or the current factor (DT-LR), and
+    W <- A + U s VT (cp_dt_lr_optimizer.cxx:202-215,
+    cp_msdt_lr_optimizer.cxx:246-256).
+    Returns (Ws_new, grads, (U, s, VT))."""
+    order = V.ndim
+    indexes = rotation_indexes(left_index, order)
+    sweep = dimtree.ChainTreeSweep(V, list(Ws), indexes, left_index, top=top)
+    grads = []
+    lr_usv = None
+    for pos in positions:
+        M = sweep.mttkrp(pos)
+        i = indexes[pos]
+        S = contract.hadamard_gram(sweep.factors, skip_mode=i, regul=lam)
+        grads.append(contract.gradsubprob(M, S, sweep.factors[i]))
+        if pos == lr_pos:
+            A = old_W_lr if lr_from_old else sweep.factors[i]
+            U, s, VT = solve.rankR_update_cholesky(
+                M, A, S, update_rank, random=randomsvd, key=key)
+            sweep.factors[i] = A + (U * s) @ VT
+            lr_usv = (U, s, VT)
+        else:
+            sweep.factors[i] = solve.solve(M, S, method=solver)
+    return sweep.factors, grads, lr_usv
+
+
+@partial(jax.jit, static_argnames=("left_index",))
+def lr_update_cache(V, cache, U, s, VT, *, left_index: int):
+    """cache += (V x_left (U s)) x VT — low-rank refresh of the cached
+    first-level contraction (update_cached_tensor,
+    cp_dt_lr_optimizer.cxx:128-158 / cp_msdt_lr_optimizer.cxx:112-157).
+    O(s^N * update_rank) instead of O(s^N * R)."""
+    order = V.ndim
+    Us = U * s
+    # contract V's left mode with Us -> axes: modes != left (ascending) + Ru
+    rem = tuple(range(order))
+    T, rem2 = contract.contract_mode_kr(V, rem, False, Us, left_index)
+    # reorder remaining axes to indexes order (cache layout) + Ru
+    indexes = rotation_indexes(left_index, order)
+    axes_current = list(rem2)
+    perm = [axes_current.index(m) for m in indexes] + [len(axes_current)]
+    T = T.transpose(perm)
+    # contract Ru with VT[Ru, R] -> rank axis
+    upd = jnp.tensordot(T, VT, axes=([T.ndim - 1], [0]))
+    return cache + upd
+
+
+@jax.jit
+def _gradnorm(grads):
+    return jnp.sqrt(sum(jnp.vdot(g, g) for g in grads))
+
+
+# ---------------------------------------------------------------------------
+# Decomposition / CPD
+# ---------------------------------------------------------------------------
+
+
+class Decomposition:
+    """Base decomposition holding V, factor list, sizes/ranks
+    (src/decomposition.h:8-36)."""
+
+    def __init__(self, order: int, sizes, ranks):
+        self.order = order
+        self.sizes = [sizes] * order if np.isscalar(sizes) else list(sizes)
+        self.ranks = [ranks] * order if np.isscalar(ranks) else list(ranks)
+        self.V = None
+        self.W: Optional[List] = None
+
+    def init(self, V, W: Sequence):
+        V = jnp.asarray(V)
+        assert V.ndim == self.order
+        for i in range(self.order):
+            assert V.shape[i] == self.sizes[i]
+            assert W[i].shape == (self.sizes[i], self.ranks[i])
+        self.V = V
+        self.W = [jnp.asarray(w) for w in W]
+
+    # aliases matching the reference API surface (decomposition.h)
+    Init = init
+
+    def print_V(self):
+        print(np.asarray(self.V))
+
+    def print_W(self, i: int):
+        print(np.asarray(self.W[i]))
+
+
+class CPOptimizer:
+    """Base optimizer: holds V/W/lambda, provides update_S
+    (cp_als_optimizer.{h,cxx})."""
+
+    def __init__(self, order: int, rank: int):
+        self.order = order
+        self.rank = rank
+        self.V = None
+        self.W: Optional[List] = None
+        self.lam = 0.0
+
+    def configure(self, V, W: List, lam: float = 0.0):
+        self.V = V
+        self.W = W
+        self.lam = lam
+        self.grads = None
+
+    def update_S(self, i: int):
+        return contract.hadamard_gram(self.W, skip_mode=i, regul=self.lam)
+
+    def step(self) -> float:
+        raise NotImplementedError
+
+
+class CPSimpleOptimizer(CPOptimizer):
+    """One sweep of exact per-mode MTTKRPs (cp_simple_optimizer.cxx:step)."""
+
+    def step(self) -> float:
+        from pairwise_perturbation_tpu.models.cp import simple_sweep
+        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
+        self.W, self.grads = simple_sweep(self.V, self.W, lam, solver="chol",
+                                          normalize=False)
+        return 1.0
+
+
+class CPMSDTOptimizer(CPOptimizer):
+    """Multi-sweep dimension tree: rotate left_index by -1 each step, update
+    the other N-1 modes (cp_msdt_optimizer.cxx)."""
+
+    def __init__(self, order: int, rank: int):
+        super().__init__(order, rank)
+        self.left_index = order  # first update_indexes -> order-1
+
+    def step(self) -> float:
+        order = self.order
+        self.left_index = (self.left_index + order - 1) % order
+        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
+        top = chain_top(self.V, self.W[self.left_index],
+                        left_index=self.left_index)
+        positions = tuple(range(order - 1))
+        self.W, self.grads = chain_step(self.V, top, self.W, lam,
+                                        left_index=self.left_index,
+                                        positions=positions, solver="chol")
+        return (order - 1) / order
+
+
+class CPDTOptimizer(CPOptimizer):
+    """Two-subtree dimension tree: alternates a first subtree updating
+    modes at positions special_index..N-2 of indexes1 and a second subtree
+    updating positions 0..special_index of indexes2; each step = 0.5 sweeps
+    (cp_dt_optimizer.cxx)."""
+
+    def __init__(self, order: int, rank: int):
+        super().__init__(order, rank)
+        self.left_index1 = order - 1
+        self.left_index2 = (self.left_index1 + order - 1) % order
+        self.special_index = 0
+        self.first_subtree = True
+
+    def _positions(self) -> Tuple[int, ...]:
+        n = self.order - 1
+        if self.first_subtree:
+            return tuple(range(self.special_index, n))
+        return tuple(range(0, self.special_index + 1))
+
+    def step(self) -> float:
+        left = self.left_index1 if self.first_subtree else self.left_index2
+        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
+        top = chain_top(self.V, self.W[left], left_index=left)
+        self.W, self.grads = chain_step(self.V, top, self.W, lam,
+                                        left_index=left,
+                                        positions=self._positions(),
+                                        solver="chol")
+        self.first_subtree = not self.first_subtree
+        return 0.5
+
+
+class CPDTLROptimizer(CPDTOptimizer):
+    """DT + low-rank update of the cached first-level contraction
+    (cp_dt_lr_optimizer.cxx). After warm-up, the big V x W contraction is
+    replaced by cache += V x_left (U s VT) with (U, s, VT) the rank-r
+    factorization of the last factor update."""
+
+    def __init__(self, order: int, rank: int, update_rank: int,
+                 randomsvd: bool = False, num_subiteration: int = 5,
+                 seed: int = 0):
+        super().__init__(order, rank)
+        self.update_rank = update_rank
+        self.randomsvd = randomsvd
+        self.num_subiteration = num_subiteration
+        self.count_subiteration = 0
+        self.low_rank_decomp = False
+        self.cached = {True: None, False: None}   # per-subtree caches
+        self.usv = None
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def step(self) -> float:
+        order = self.order
+        left = self.left_index1 if self.first_subtree else self.left_index2
+        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
+        # first-level contraction: cached low-rank refresh or full recompute
+        if self.low_rank_decomp and self.count_subiteration > 1:
+            U, s, VT = self.usv
+            top = lr_update_cache(self.V, self.cached[self.first_subtree],
+                                  U, s, VT, left_index=left)
+            self.cached[self.first_subtree] = top
+        else:
+            top = chain_top(self.V, self.W[left], left_index=left)
+            self.cached[self.first_subtree] = top
+        positions = self._positions()
+        do_lr = self.count_subiteration >= 1
+        lr_pos = (positions[-1] if self.first_subtree else positions[0]) \
+            if do_lr else -1
+        if do_lr:
+            indexes = rotation_indexes(left, order)
+            self.W, self.grads, usv = chain_step_lr(
+                self.V, top, self.W, lam, self.W[indexes[lr_pos]],
+                self._next_key(), left_index=left, positions=positions,
+                solver="chol", lr_pos=lr_pos, update_rank=self.update_rank,
+                randomsvd=self.randomsvd, lr_from_old=False)
+            self.usv = usv
+            self.low_rank_decomp = True
+        else:
+            self.W, self.grads = chain_step(self.V, top, self.W, lam,
+                                            left_index=left,
+                                            positions=positions,
+                                            solver="chol")
+        if not self.first_subtree:
+            self.count_subiteration += 1
+        if (self.count_subiteration == self.num_subiteration
+                and not self.first_subtree):
+            # rotate special_index, reset LR state (cp_dt_lr_optimizer.cxx:219-232)
+            self.special_index = (self.special_index + 1) % (order - 1)
+            self.count_subiteration = 0
+            self.low_rank_decomp = False
+            if self.special_index != 0:
+                self.left_index1 = (self.left_index1 + order - 1) % order
+                self.left_index2 = (self.left_index2 + order - 1) % order
+            else:
+                self.left_index1 = order - 1
+                self.left_index2 = (self.left_index1 + order - 1) % order
+        self.first_subtree = not self.first_subtree
+        return 0.5
+
+
+class CPMSDTLROptimizer(CPMSDTOptimizer):
+    """MSDT + per-mode cached first contractions with low-rank refresh
+    (cp_msdt_lr_optimizer.cxx)."""
+
+    def __init__(self, order: int, rank: int, update_rank: int,
+                 randomsvd: bool = False, seed: int = 0):
+        super().__init__(order, rank)
+        self.update_rank = update_rank
+        self.randomsvd = randomsvd
+        self.low_rank_decomp = False
+        self.is_cached = [False] * order
+        self.cached_tensors: List = [None] * order
+        self.old_W: List = [None] * order
+        self.usv = None
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def step(self) -> float:
+        order = self.order
+        self.left_index = (self.left_index + order - 1) % order
+        left = self.left_index
+        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
+        if self.low_rank_decomp and self.is_cached[left]:
+            U, s, VT = self.usv
+            top = lr_update_cache(self.V, self.cached_tensors[left],
+                                  U, s, VT, left_index=left)
+            self.cached_tensors[left] = top
+            self.old_W[left] = self.W[left]
+        else:
+            top = chain_top(self.V, self.W[left], left_index=left)
+            self.cached_tensors[left] = top
+            self.old_W[left] = self.W[left]
+            self.is_cached[left] = True
+        positions = tuple(range(order - 1))
+        indexes = rotation_indexes(left, order)
+        last_mode = indexes[positions[-1]]
+        if self.is_cached[last_mode]:
+            self.W, self.grads, usv = chain_step_lr(
+                self.V, top, self.W, lam, self.old_W[last_mode],
+                self._next_key(), left_index=left, positions=positions,
+                solver="chol", lr_pos=positions[-1],
+                update_rank=self.update_rank, randomsvd=self.randomsvd,
+                lr_from_old=True)
+            self.usv = usv
+            self.low_rank_decomp = True
+        else:
+            self.W, self.grads = chain_step(self.V, top, self.W, lam,
+                                            left_index=left,
+                                            positions=positions,
+                                            solver="chol")
+        return (order - 1) / order
+
+
+class CPD(Decomposition):
+    """CP decomposition driver templated on an optimizer policy
+    (src/CP.cxx:111-187)."""
+
+    def __init__(self, order: int, sizes, rank, optimizer: CPOptimizer):
+        ranks = rank
+        super().__init__(order, sizes, ranks)
+        self.optimizer = optimizer
+        self.gradnorm = float("inf")
+
+    def init(self, V, W: Sequence, lam: float = 0.0):
+        super().init(V, W)
+        self.optimizer.configure(self.V, self.W, lam)
+
+    Init = init
+
+    def als(self, tol: float, timelimit: float, maxsweep: int,
+            resprint: int, plot: Optional[PlotFile] = None,
+            bench: bool = False):
+        V = self.V
+        V_norm_sq = jnp.vdot(V, V)
+        clock = SweepClock()
+        iters = 0
+        sweeps = 0.0
+        diffV = float("inf")
+        history = []
+        from pairwise_perturbation_tpu.models.cp import cp_diagnostics
+        while int(sweeps) <= maxsweep:
+            if iters % resprint == 0 or sweeps >= maxsweep or sweeps == 0:
+                with clock.exclude():
+                    W = self.optimizer.W
+                    if getattr(self.optimizer, "grads", None):
+                        gn, dV = cp_diagnostics(V_norm_sq, V, W,
+                                                self.optimizer.grads)
+                        self.gradnorm, diffV = float(gn), float(dV)
+                    else:
+                        M_last = contract.mttkrp(V, W, self.order - 1)
+                        diffV = float(contract.cp_residual_norm(
+                            V_norm_sq, M_last, W))
+                dtime = clock.dtime()
+                if plot is not None:
+                    plot.row(V.shape[0], sweeps, self.gradnorm, tol, 0, diffV,
+                             dtime)
+                history.append(dict(sweeps=sweeps, gradnorm=self.gradnorm,
+                                    diffV=diffV, dtime=dtime))
+                if self.gradnorm < tol or dtime > timelimit:
+                    break
+            sweeps += self.optimizer.step()
+            self.W = self.optimizer.W
+            iters += 1
+        self.history = history
+        return self.gradnorm < tol

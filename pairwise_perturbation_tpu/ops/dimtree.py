@@ -146,7 +146,7 @@ class ChainTreeSweep:
     """
 
     def __init__(self, V, factors: Sequence, indexes: Sequence[int],
-                 left_index: int, precision=None):
+                 left_index: int, precision=None, top=None):
         self.V = V
         self.factors = list(factors)
         self.indexes = list(indexes)
@@ -157,6 +157,10 @@ class ChainTreeSweep:
         self.parent, self.contract_pos = chain_tree(n)
         self._memo: Dict[Tuple[int, ...], object] = {}
         self._top = tuple(range(n))
+        if top is not None:
+            # preset first-level contraction (LR-cached optimizers inject
+            # their cached/updated tensor here, cp_dt_lr_optimizer.cxx:95-100)
+            self._memo[self._top] = top
 
     def _mode_of(self, pos: int) -> int:
         return self.indexes[pos]

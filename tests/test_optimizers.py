@@ -1,0 +1,80 @@
+"""Second-gen optimizer framework tests (src/ equivalents)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pairwise_perturbation_tpu.models import cp, optimizers as opt
+from pairwise_perturbation_tpu.ops import contract
+
+
+def make_problem(rng, shape, R):
+    Ws_true = [rng.random((s, R)) for s in shape]
+    V = np.asarray(contract.build_dense([jnp.asarray(W) for W in Ws_true]))
+    W0 = cp.init_factors(shape, R, dtype=jnp.float64)
+    return jnp.asarray(V), W0
+
+
+def run_cpd(V, W0, optimizer, maxsweep=60):
+    order = V.ndim
+    model = opt.CPD(order, list(V.shape), W0[0].shape[1], optimizer)
+    model.init(V, [jnp.array(w) for w in W0], lam=0.0)
+    model.als(tol=1e-12, timelimit=1e4, maxsweep=maxsweep, resprint=5)
+    return model
+
+
+@pytest.mark.parametrize("make_opt,sweep_frac", [
+    (lambda order, R: opt.CPSimpleOptimizer(order, R), 1.0),
+    (lambda order, R: opt.CPDTOptimizer(order, R), 0.5),
+    (lambda order, R: opt.CPMSDTOptimizer(order, R), None),
+])
+def test_optimizer_step_accounting(rng, make_opt, sweep_frac):
+    shape, R = (5, 6, 7, 8), 3
+    V, W0 = make_problem(rng, shape, R)
+    o = make_opt(len(shape), R)
+    o.configure(V, [jnp.array(w) for w in W0], 0.0)
+    got = o.step()
+    want = sweep_frac if sweep_frac is not None else (len(shape) - 1) / len(shape)
+    assert got == want
+
+
+@pytest.mark.parametrize("make_opt", [
+    lambda order, R: opt.CPSimpleOptimizer(order, R),
+    lambda order, R: opt.CPDTOptimizer(order, R),
+    lambda order, R: opt.CPMSDTOptimizer(order, R),
+    lambda order, R: opt.CPDTLROptimizer(order, R, update_rank=2),
+    lambda order, R: opt.CPMSDTLROptimizer(order, R, update_rank=2),
+])
+def test_cpd_converges(rng, make_opt):
+    shape, R = (6, 6, 6, 6), 3
+    V, W0 = make_problem(rng, shape, R)
+    model = run_cpd(V, W0, make_opt(len(shape), R), maxsweep=80)
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    final = model.history[-1]["diffV"]
+    first = model.history[0]["diffV"]
+    assert final < 0.05 * first, (first, final)
+
+
+def test_msdt_equals_simple_after_full_rotation(rng):
+    """MSDT updates N-1 modes per step with exact tree MTTKRPs; its
+    trajectory must track the simple optimizer closely on a well-posed
+    problem."""
+    shape, R = (6, 6, 6, 6), 3
+    V, W0 = make_problem(rng, shape, R)
+    m1 = run_cpd(V, W0, opt.CPSimpleOptimizer(len(shape), R), maxsweep=40)
+    m2 = run_cpd(V, W0, opt.CPMSDTOptimizer(len(shape), R), maxsweep=40)
+    f1 = m1.history[-1]["diffV"]
+    f2 = m2.history[-1]["diffV"]
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    assert abs(f1 - f2) < 0.02 * Vn
+
+
+def test_dt_optimizer_updates_all_modes(rng):
+    shape, R = (5, 6, 7, 8), 3
+    V, W0 = make_problem(rng, shape, R)
+    o = opt.CPDTOptimizer(len(shape), R)
+    o.configure(V, [jnp.array(w) for w in W0], 0.0)
+    o.step()  # first subtree: modes 0..order-2
+    o.step()  # second subtree: mode order-1
+    for i, (a, b) in enumerate(zip(o.W, W0)):
+        assert not np.allclose(np.asarray(a), np.asarray(b)), f"mode {i} unchanged"
