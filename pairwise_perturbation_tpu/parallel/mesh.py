@@ -1,0 +1,160 @@
+"""Device-mesh layer: the TPU-native replacement for CTF's distributed
+tensor runtime (SURVEY.md section 2.6).
+
+CTF gives every ``Tensor<>`` an implicit cyclic block decomposition over
+the MPI world and redistributes per contraction. Here the layout engine is
+explicit and static:
+
+- the input tensor V is block-sharded over its largest mode(s) via
+  ``NamedSharding`` on a 1D or 2D ``Mesh`` (ICI-adjacent axes);
+- factor matrices are row-sharded on sharded modes, replicated otherwise;
+- every jitted sweep is GSPMD-partitioned by XLA: contractions over a
+  sharded mode produce local partial MTTKRPs followed by a single
+  ``psum``/``reduce_scatter`` over ICI — the communication pattern CTF
+  realizes with SUMMA + MPI reductions;
+- an explicit ``shard_map`` MTTKRP (:func:`sharded_mttkrp`) demonstrates /
+  pins the manual-collective path and is used to validate that the
+  automatic partitioner produces the same results.
+
+Zero-padding: sharded modes are padded to a multiple of the mesh axis.
+Padding is algebraically invisible to ALS: padded slices of V are zero, so
+padded rows of every MTTKRP (hence of every solved factor) stay zero, Gram
+matrices are unchanged, and norms are unchanged.
+
+Multi-host: :func:`distributed_init` wraps ``jax.distributed.initialize``
+(one process per host, megascale env); replaces ``MPI_Init`` + CTF ``World``
+(test_ALS.cxx:58-60, 198-200).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pairwise_perturbation_tpu.ops import contract
+
+
+def distributed_init(**kwargs):
+    """Multi-host SPMD bring-up (replaces MPI_Init; no-op if single host)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # already initialized or single-process
+
+
+def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
+              axis_names: Optional[Sequence[str]] = None,
+              devices=None) -> Mesh:
+    """Build a device mesh. Default: all devices on one axis 'x'."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (n,)
+    if axis_names is None:
+        axis_names = tuple(f"x{i}" if i else "x"
+                           for i in range(len(mesh_shape)))
+    assert math.prod(mesh_shape) == n, (mesh_shape, n)
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+@dataclass
+class ShardedLayout:
+    """Static layout decision: which tensor mode maps to which mesh axis."""
+    mesh: Mesh
+    mode_axis: dict            # tensor mode -> mesh axis name
+    padded_shape: Tuple[int, ...]
+    orig_shape: Tuple[int, ...]
+
+    def v_spec(self) -> P:
+        return P(*[self.mode_axis.get(m) for m in range(len(self.padded_shape))])
+
+    def w_spec(self, mode: int) -> P:
+        return P(self.mode_axis.get(mode), None)
+
+
+def plan_layout(shape: Sequence[int], mesh: Mesh,
+                modes: Optional[Sequence[int]] = None) -> ShardedLayout:
+    """Map the largest tensor modes onto the mesh axes (largest mode to the
+    largest axis) — the static analogue of CTF's per-contraction
+    redistribution, chosen once so MTTKRP partials stay local until one
+    reduction (SURVEY.md section 5 'long-context' note)."""
+    shape = tuple(int(s) for s in shape)
+    axes = sorted(mesh.shape.items(), key=lambda kv: -kv[1])  # (name, size)
+    if modes is None:
+        order_by_size = sorted(range(len(shape)), key=lambda m: -shape[m])
+        modes = order_by_size[:len(axes)]
+    mode_axis = {}
+    padded = list(shape)
+    for (axis, k), m in zip(axes, modes):
+        mode_axis[m] = axis
+        padded[m] = ((shape[m] + k - 1) // k) * k
+    return ShardedLayout(mesh, mode_axis, tuple(padded), shape)
+
+
+def shard_tensor(V, layout: ShardedLayout):
+    """Zero-pad sharded modes and place V with its NamedSharding."""
+    V = jnp.asarray(V)
+    pads = [(0, p - s) for s, p in zip(V.shape, layout.padded_shape)]
+    if any(p != (0, 0) for p in pads):
+        V = jnp.pad(V, pads)
+    return jax.device_put(V, NamedSharding(layout.mesh, layout.v_spec()))
+
+
+def shard_factors(Ws: Sequence, layout: ShardedLayout):
+    """Row-shard factors of sharded modes (zero-padded), replicate others."""
+    out = []
+    for m, W in enumerate(Ws):
+        W = jnp.asarray(W)
+        target = layout.padded_shape[m]
+        if W.shape[0] < target:
+            W = jnp.pad(W, ((0, target - W.shape[0]), (0, 0)))
+        out.append(jax.device_put(W, NamedSharding(layout.mesh,
+                                                   layout.w_spec(m))))
+    return out
+
+
+def unshard_factors(Ws: Sequence, layout: ShardedLayout):
+    """Gather factors to host and strip padding rows."""
+    return [np.asarray(W)[:layout.orig_shape[m], :]
+            for m, W in enumerate(Ws)]
+
+
+# ---------------------------------------------------------------------------
+# Explicit-collective MTTKRP (shard_map + psum)
+# ---------------------------------------------------------------------------
+
+
+def sharded_mttkrp(V, Ws: Sequence, mode: int, layout: ShardedLayout):
+    """MTTKRP with explicit per-shard partial contraction + psum.
+
+    The contraction over each sharded mode j != mode is computed locally on
+    each shard (V block x local rows of W_j) and reduced with one ``psum``
+    over that mesh axis — the hand-written version of what GSPMD inserts.
+    Kept as a reference/validation path and a template for a future Pallas
+    ring variant.
+    """
+    mesh = layout.mesh
+    v_spec = layout.v_spec()
+    w_specs = [layout.w_spec(m) for m in range(len(Ws))]
+    out_axis = layout.mode_axis.get(mode)
+    reduce_axes = tuple(a for m, a in layout.mode_axis.items() if m != mode)
+
+    def local(Vb, *Wbs):
+        M = contract.mttkrp(Vb, list(Wbs), mode)
+        if reduce_axes:
+            M = jax.lax.psum(M, axis_name=reduce_axes)
+        return M
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(v_spec, *w_specs),
+                      out_specs=P(out_axis, None))
+    return f(V, *Ws)
