@@ -1,0 +1,77 @@
+"""Flag surface compatible with the reference drivers.
+
+The reference parses single-dash long options with a hand-rolled scan
+(getCmdOption, test_ALS.cxx:14-20). The full surface (SURVEY.md section 5):
+
+-model -tensor -pp -update_percentage_pp -dim -size -rank -updaterank
+-issparse -resprint -randomsvd -tol -pp_res_tol -lambda -magni -filename
+-tensorfile -colmin -colmax -rationoise -timelimit -maxiter
+
+plus TPU-native additions: -dtype, -mesh, -seed, -checkpoint, -engine.
+Defaults and clamping follow test_ALS.cxx:64-196 / run.cxx:67-214.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog, description=__doc__)
+    p.add_argument("-model", default="CP", choices=["CP", "Tucker"])
+    p.add_argument("-tensor", default="p",
+                   help="p | p2 | c | r | r2 | o1 (coil-100) | o2 (time-lapse)")
+    p.add_argument("-pp", type=int, default=0,
+                   help="legacy engine: 0 DT, 1 PP, 2 PP-partupdate; "
+                        "run engine: 0 DT, 1 MSDT, 2 DT-LR, 3 MSDT-LR, 4 simple")
+    p.add_argument("-update_percentage_pp", type=float, default=1.0)
+    p.add_argument("-dim", type=int, default=8)
+    p.add_argument("-size", type=int, default=10)
+    p.add_argument("-rank", type=int, default=0, help="0 -> size//2")
+    p.add_argument("-updaterank", type=int, default=1)
+    p.add_argument("-randomsvd", type=int, default=0)
+    p.add_argument("-issparse", type=int, default=0)
+    p.add_argument("-resprint", type=int, default=10)
+    p.add_argument("-tol", type=float, default=1e-10,
+                   help="relative tolerance; multiplied by ||V||")
+    p.add_argument("-pp_res_tol", type=float, default=1e-2)
+    p.add_argument("-lambda", dest="lam", type=float, default=0.0)
+    p.add_argument("-magni", type=float, default=1.0,
+                   help="PP damping ratio_step")
+    p.add_argument("-filename", default="out.csv")
+    p.add_argument("-tensorfile", default="test")
+    p.add_argument("-colmin", type=float, default=0.5)
+    p.add_argument("-colmax", type=float, default=0.9)
+    p.add_argument("-rationoise", type=float, default=0.01)
+    p.add_argument("-timelimit", type=float, default=5e3)
+    p.add_argument("-maxiter", type=int, default=250)
+    # TPU-native additions
+    p.add_argument("-dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("-mesh", default="", help="e.g. '4' or '2x4' device mesh")
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-checkpoint", default="",
+                   help="path prefix for factor checkpoints")
+    p.add_argument("-quiet", action="store_true")
+    return p
+
+
+def clamp(args) -> None:
+    """Range clamping as in test_ALS.cxx:76-196."""
+    if args.rank <= 0:
+        args.rank = max(args.size // 2, 1)
+    args.pp = max(args.pp, 0)
+    if not (0.0 < args.update_percentage_pp <= 1.0):
+        args.update_percentage_pp = 1.0
+    if args.maxiter < 0:
+        args.maxiter = 5000
+    if args.timelimit < 0:
+        args.timelimit = 5e3
+    if not (0 <= args.tol <= 1):
+        args.tol = 1e-10
+    if not (0 <= args.pp_res_tol <= 1):
+        args.pp_res_tol = 1e-2
+    if args.lam < 0:
+        args.lam = 0.0
+    if args.magni < 0:
+        args.magni = 1.0

@@ -1,0 +1,89 @@
+"""End-to-end CLI tests on tiny problems (CPU)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from pairwise_perturbation_tpu import cli
+
+
+def _read_csv(path):
+    with open(path) as fh:
+        return list(csv.reader(fh))
+
+
+def test_cli_cp_dt(tmp_path):
+    out = str(tmp_path / "cp_dt.csv")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "0",
+                   "-dim", "3", "-size", "8", "-rank", "3", "-maxiter", "20",
+                   "-resprint", "5", "-filename", out, "-dtype", "float64",
+                   "-quiet"])
+    assert rc == 0
+    rows = _read_csv(out)
+    assert rows[0] == "[dim],[iter],[gradnorm],[tol],[pp_update],[diffV],[dtime]".split(",")
+    assert len(rows) > 2
+    # residual decreases
+    diffs = [float(r[5]) for r in rows[1:] if len(r) == 7]
+    assert diffs[-1] < diffs[0]
+
+
+def test_cli_cp_pp(tmp_path):
+    out = str(tmp_path / "cp_pp.csv")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "1",
+                   "-dim", "4", "-size", "6", "-rank", "2", "-maxiter", "40",
+                   "-resprint", "5", "-pp_res_tol", "0.1",
+                   "-filename", out, "-dtype", "float64", "-quiet"])
+    assert rc == 0
+    rows = _read_csv(out)
+    pp_flags = {r[4] for r in rows[1:] if len(r) == 7}
+    assert "1" in pp_flags or "0" in pp_flags
+
+
+def test_cli_tucker(tmp_path):
+    out = str(tmp_path / "tucker.csv")
+    rc = cli.main(["test_als", "-model", "Tucker", "-tensor", "r2", "-pp", "0",
+                   "-dim", "3", "-size", "8", "-rank", "3", "-maxiter", "10",
+                   "-resprint", "2", "-filename", out, "-dtype", "float64",
+                   "-quiet"])
+    assert rc == 0
+    rows = _read_csv(out)
+    assert rows[0][2] == "[diffnorm]"
+
+
+def test_cli_run_msdt(tmp_path):
+    out = str(tmp_path / "run.csv")
+    rc = cli.main(["run", "-model", "CP", "-tensor", "r", "-pp", "1",
+                   "-dim", "4", "-size", "6", "-rank", "2", "-maxiter", "20",
+                   "-resprint", "5", "-filename", out, "-dtype", "float64",
+                   "-quiet"])
+    assert rc == 0
+    rows = _read_csv(out)
+    diffs = [float(r[5]) for r in rows[1:] if len(r) == 7]
+    assert diffs[-1] < diffs[0]
+
+
+def test_cli_pp_bench(tmp_path):
+    out = str(tmp_path / "bench.csv")
+    rc = cli.main(["pp_bench", "-model", "CP", "-tensor", "r", "-pp", "1",
+                   "-dim", "3", "-size", "8", "-rank", "3", "-maxiter", "2",
+                   "-filename", out, "-dtype", "float64", "-quiet"])
+    assert rc == 0
+    rows = _read_csv(out)
+    kinds = {r[0] for r in rows[1:]}
+    assert "[DTtime]" in kinds and "[PPfirst]" in kinds and "[PPsecond]" in kinds
+
+
+def test_cli_checkpoint(tmp_path):
+    out = str(tmp_path / "cp.csv")
+    ck = str(tmp_path / "ckpt")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "0",
+                   "-dim", "3", "-size", "6", "-rank", "2", "-maxiter", "5",
+                   "-resprint", "5", "-filename", out, "-checkpoint", ck,
+                   "-dtype", "float64", "-quiet"])
+    assert rc == 0
+    from pairwise_perturbation_tpu.utils import io as ppio
+    back = ppio.load_checkpoint(ck)
+    assert len(back["factors"]) == 3
+    assert back["meta"]["model"] == "CP"
