@@ -84,9 +84,9 @@ class TuckerBinaryTreeSweep:
             T = self.V
         else:
             T = self.node(plo, phi)
-        for m in range(plo, phi + 1):
-            if lo <= m <= hi:
-                continue
+        to_contract = [m for m in range(plo, phi + 1) if not lo <= m <= hi]
+        priority = contract.contraction_priority(self.V.shape)
+        for m in contract.order_by_priority(to_contract, priority):
             T = contract.ttmc_contract_mode(T, self.factors[m], m,
                                             precision=self.precision)
         self._memo[key] = T

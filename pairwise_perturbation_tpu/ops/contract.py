@@ -117,6 +117,24 @@ def partial_mttkrp(V, factors: Sequence, contract_modes: Sequence[int],
     return T
 
 
+def contraction_priority(shape: Sequence[int]) -> Tuple[int, ...]:
+    """Global mode-contraction order: largest modes first (ties by index).
+
+    The reference chains in ascending mode order (als_CP.cxx:678-694),
+    which on e.g. coil-100 (3 x 128 x 128 x 7200) materializes an
+    intermediate 2400x the tensor-free size by contracting the size-3 mode
+    first. Contracting the largest mode first keeps every intermediate
+    small — TPU HBM is the scarce resource — while prefix memoization
+    still shares work (all chains follow one global order).
+    """
+    return tuple(sorted(range(len(shape)), key=lambda m: (-shape[m], m)))
+
+
+def order_by_priority(modes, priority: Sequence[int]) -> Tuple[int, ...]:
+    rank_of = {m: i for i, m in enumerate(priority)}
+    return tuple(sorted(modes, key=lambda m: rank_of[m]))
+
+
 def build_pp_caches(V, factors: Sequence, precision=None):
     """Build all PP caches: pair tensors T_{ij}[s_i, s_j, R] for i<j and
     single matrices M_i[s_i, R].
@@ -125,9 +143,12 @@ def build_pp_caches(V, factors: Sequence, precision=None):
     pairs then all singles (als_CP.cxx:676-694), including the memoized
     prefix reuse (als_CP.cxx:385-389): cache keys are the *contracted* mode
     tuples; a chain sharing a prefix reuses the prefix intermediate.
-    Intended to be called inside jit so XLA fuses the whole build.
+    Chains follow :func:`contraction_priority` (largest modes first) so
+    intermediates stay small. Intended to be called inside jit so XLA
+    fuses the whole build.
     """
     order = V.ndim
+    priority = contraction_priority(V.shape)
     memo: Dict[Tuple[int, ...], Tuple] = {(): (V, tuple(range(order)), False)}
 
     def get(key: Tuple[int, ...]):
@@ -141,11 +162,13 @@ def build_pp_caches(V, factors: Sequence, precision=None):
     pair = {}
     for i in range(order):
         for j in range(i + 1, order):
-            key = tuple(m for m in range(order) if m not in (i, j))
+            key = order_by_priority(
+                (m for m in range(order) if m not in (i, j)), priority)
             pair[(i, j)] = get(key)[0]
     single = {}
     for i in range(order):
-        key = tuple(m for m in range(order) if m != i)
+        key = order_by_priority(
+            (m for m in range(order) if m != i), priority)
         single[i] = get(key)[0]
     return single, pair
 
@@ -327,9 +350,11 @@ def build_ttmc_caches(V, factors: Sequence, precision=None):
 
     Mirrors ``Build_ttmc_map`` over all pairs then singles
     (als_Tucker.cxx:744-760). Axis positions are preserved: contracted
-    modes have rank-sized axes.
+    modes have rank-sized axes. Chains follow the largest-mode-first
+    global priority so intermediates shrink fastest.
     """
     order = V.ndim
+    priority = contraction_priority(V.shape)
     memo: Dict[Tuple[int, ...], object] = {(): V}
 
     def get(key: Tuple[int, ...]):
@@ -342,11 +367,13 @@ def build_ttmc_caches(V, factors: Sequence, precision=None):
     pair = {}
     for i in range(order):
         for j in range(i + 1, order):
-            key = tuple(m for m in range(order) if m not in (i, j))
+            key = order_by_priority(
+                (m for m in range(order) if m not in (i, j)), priority)
             pair[(i, j)] = get(key)
     single = {}
     for i in range(order):
-        key = tuple(m for m in range(order) if m != i)
+        key = order_by_priority(
+            (m for m in range(order) if m != i), priority)
         single[i] = get(key)
     return single, pair
 

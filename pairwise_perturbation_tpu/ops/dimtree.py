@@ -84,9 +84,9 @@ class BinaryTreeSweep:
             T = self.node(plo, phi)
             rem = tuple(range(plo, phi + 1))
             has_rank = True
-        for m in range(plo, phi + 1):
-            if lo <= m <= hi:
-                continue
+        to_contract = [m for m in range(plo, phi + 1) if not lo <= m <= hi]
+        priority = contract.contraction_priority(self.V.shape)
+        for m in contract.order_by_priority(to_contract, priority):
             T, rem = contract.contract_mode_kr(
                 T, rem, has_rank, self.factors[m], m, precision=self.precision)
             has_rank = True
