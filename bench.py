@@ -5,6 +5,12 @@ accelerator jax exposes (one TPU chip under the driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extra}.
 
+Timing method: N sweeps are dispatched back-to-back (each sweep's factors
+feed the next, so execution is fully serialized on-device) and completion
+is forced by pulling a tiny slice of the last result; the measured
+host-pull latency is subtracted. This avoids wrapping the sweep in
+lax.fori_loop, whose compile is pathological through the TPU relay.
+
 Baseline note: the reference repo publishes no numbers (BASELINE.md). The
 paper's Stampede2 runs put the CTF CPU DT sweep for this config at order
 ~1 s/sweep on one node (8 ranks x 8 threads); BASELINE.json's target is
@@ -21,6 +27,11 @@ import time
 CTF_BASELINE_SWEEPS_PER_SEC = 1.0  # conservative 1-node CTF estimate (see above)
 
 
+def _pull(x):
+    import numpy as np
+    return np.asarray(x[:1, :1])
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -34,59 +45,68 @@ def main() -> int:
     try:
         key = jax.random.PRNGKey(0)
         kV, *kws = jax.random.split(key, len(shape) + 1)
-        # coil-100-shaped random data (values in [0, 255] like image data)
         V = jax.random.uniform(kV, shape, dtype=dtype) * 255.0
         Ws = [jax.random.uniform(k, (s, R), dtype=dtype)
               for k, s in zip(kws, shape)]
         lam = jnp.asarray(0.0, dtype=dtype)
 
-        def one_sweep(Ws):
-            Ws_new, _ = cp.dt_sweep(V, list(Ws), lam, solver="svd")
-            return tuple(Ws_new)
+        # warm-up: compile + first pull (relay warm-up is tens of seconds)
+        out, _ = cp.dt_sweep(V, Ws, lam, solver="svd")
+        _pull(out[0])
 
-        @jax.jit
-        def n_sweeps(Ws, n):
-            def body(_, Ws):
-                return one_sweep(Ws)
-            return jax.lax.fori_loop(0, n, body, tuple(Ws))
-
-        # warm-up + compile
-        Ws_t = tuple(Ws)
-        out = n_sweeps(Ws_t, 1)
-        jax.block_until_ready(out)
-
-        n = 20
+        # measure host-pull latency
         t0 = time.perf_counter()
-        out = n_sweeps(Ws_t, n)
-        jax.block_until_ready(out)
-        dt_sweep_time = (time.perf_counter() - t0) / n
+        for _ in range(3):
+            _pull(out[0])
+        pull_overhead = (time.perf_counter() - t0) / 3
+
+        n = 100
+        cur = list(Ws)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            cur, _ = cp.dt_sweep(V, cur, lam, solver="svd")
+        _pull(cur[0])
+        dt_sweep_time = max(
+            (time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
         sweeps_per_sec = 1.0 / dt_sweep_time
 
-        # PP steady-state sweep time (cheap corrections, no V touched)
+        # PP: cache build time and steady-state sweep time
+        t0 = time.perf_counter()
         single, pair = cp.pp_build_caches(V, list(Ws))
+        _pull(single[0])
+        pp_build_first = time.perf_counter() - t0  # includes compile
+        t0 = time.perf_counter()
+        single, pair = cp.pp_build_caches(V, list(Ws))
+        _pull(single[0])
+        pp_build_time = max(time.perf_counter() - t0 - pull_overhead, 1e-9)
+
         W_init = [w for w in Ws]
         dWs = [jnp.zeros_like(w) for w in Ws]
         out = cp.pp_sweep(single, pair, list(Ws), W_init, dWs, lam, 1.0,
                           solver="svd")
-        jax.block_until_ready(out)
+        _pull(out[0][0])
+        cur, dcur = list(Ws), dWs
+        npp = 50
         t0 = time.perf_counter()
-        for _ in range(5):
-            out = cp.pp_sweep(single, pair, list(Ws), W_init, dWs, lam, 1.0,
-                              solver="svd")
-            jax.block_until_ready(out)
-        pp_sweep_time = (time.perf_counter() - t0) / 5
+        for _ in range(npp):
+            cur, dcur, _ = cp.pp_sweep(single, pair, cur, W_init, dcur, lam,
+                                       1.0, solver="svd")
+        _pull(cur[0])
+        pp_sweep_time = max(
+            (time.perf_counter() - t0 - pull_overhead) / npp, 1e-9)
 
-        # effective MTTKRP FLOP rate for the DT sweep: ~2 first-level
-        # chains of 2*nnz*R flops each dominate
         nnz = 1
         for s in shape:
             nnz *= s
-        flops_per_sweep = 2 * 2 * nnz * R
+        flops_per_sweep = 2 * 2 * nnz * R  # two first-level chains dominate
         extra = {
             "device": str(jax.devices()[0]),
-            "dt_sweep_seconds": dt_sweep_time,
-            "pp_sweep_seconds": pp_sweep_time,
-            "dt_tflops_effective": flops_per_sweep / dt_sweep_time / 1e12,
+            "dt_sweep_seconds": round(dt_sweep_time, 6),
+            "pp_sweep_seconds": round(pp_sweep_time, 6),
+            "pp_cache_build_seconds": round(pp_build_time, 6),
+            "host_pull_overhead_seconds": round(pull_overhead, 6),
+            "dt_tflops_effective": round(
+                flops_per_sweep / dt_sweep_time / 1e12, 3),
             "config": "coil-100-shaped random, order-4 3x128x128x7200, rank 10, f32",
         }
         value = sweeps_per_sec
