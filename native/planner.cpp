@@ -1,0 +1,145 @@
+// Contraction-order planner for dimension-tree / PP-cache chains.
+//
+// TPU-native replacement for the planning role of CTF's contraction engine:
+// CTF redistributes and re-plans per contraction at runtime; here layouts
+// are static, so the planner runs once per (shape, rank) and returns
+//   (a) a global mode-contraction priority minimizing peak intermediate
+//       bytes subject to minimal FLOPs, and
+//   (b) the binary-tree split point per node minimizing total sweep FLOPs.
+//
+// Exposed as a C ABI for ctypes (pairwise_perturbation_tpu/native.py).
+// FLOP model: contracting mode m from an intermediate with element count E
+// (including a rank axis of size R) costs 2*E (Khatri-Rao: one multiply-add
+// per element) and produces E/s_m elements.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// Fill `priority_out[order]` with the mode order that minimizes the peak
+// intermediate size of a full chain contraction (greedy: contract the mode
+// giving the smallest next intermediate; ties by larger size first).
+// Returns peak intermediate element count.
+double plan_chain_priority(const int64_t* sizes, int order, int64_t rank,
+                           int* priority_out) {
+  std::vector<int> modes(order);
+  std::iota(modes.begin(), modes.end(), 0);
+  // Greedy: repeatedly contract the mode with the largest size — the next
+  // intermediate is total/size (smallest). Equivalent to descending size.
+  std::sort(modes.begin(), modes.end(), [&](int a, int b) {
+    if (sizes[a] != sizes[b]) return sizes[a] > sizes[b];
+    return a < b;
+  });
+  double total = 1.0;
+  for (int i = 0; i < order; i++) total *= (double)sizes[i];
+  double cur = total;  // before first contraction (no rank axis)
+  double peak = total;
+  for (int i = 0; i < order; i++) {
+    priority_out[i] = modes[i];
+    cur = cur / (double)sizes[modes[i]];
+    double with_rank = cur * (double)rank;
+    if (with_rank > peak) peak = with_rank;
+  }
+  return peak;
+}
+
+// FLOPs to build a dimension-tree node covering [lo, hi] directly from an
+// intermediate holding modes [plo, phi] (+rank if has_rank), contracting
+// everything outside [lo, hi] in descending-size order.
+static double node_flops(const int64_t* sizes, int64_t rank, int plo, int phi,
+                         int lo, int hi, bool has_rank) {
+  std::vector<int> out;
+  for (int m = plo; m <= phi; m++)
+    if (m < lo || m > hi) out.push_back(m);
+  std::sort(out.begin(), out.end(), [&](int a, int b) {
+    return sizes[a] > sizes[b];
+  });
+  double E = has_rank ? (double)rank : 1.0;
+  for (int m = plo; m <= phi; m++) E *= (double)sizes[m];
+  double flops = 0.0;
+  bool rank_axis = has_rank;
+  for (int m : out) {
+    if (!rank_axis) {  // first contraction introduces the rank axis
+      flops += 2.0 * E * (double)rank;
+      E = E / (double)sizes[m] * (double)rank;
+      rank_axis = true;
+    } else {
+      flops += 2.0 * E;
+      E = E / (double)sizes[m];
+    }
+  }
+  return flops;
+}
+
+// Choose the split point of the root [0, order-1] minimizing one DT sweep's
+// FLOPs (two top-level nodes each built from V plus leaf extractions).
+// Returns the chosen split s (left child = [0, s], right = [s+1, order-1])
+// and writes estimated sweep FLOPs to *flops_out.
+int plan_tree_split(const int64_t* sizes, int order, int64_t rank,
+                    double* flops_out) {
+  int best = order / 2 - 1;
+  double best_flops = -1.0;
+  for (int s = 0; s + 1 < order; s++) {
+    double f = node_flops(sizes, rank, 0, order - 1, 0, s, false) +
+               node_flops(sizes, rank, 0, order - 1, s + 1, order - 1, false);
+    // leaf extraction costs below each top node
+    f += node_flops(sizes, rank, 0, s, 0, 0, true) * (s + 1);
+    f += node_flops(sizes, rank, s + 1, order - 1, s + 1, s + 1, true) *
+         (order - 1 - s);
+    if (best_flops < 0 || f < best_flops) {
+      best_flops = f;
+      best = s;
+    }
+  }
+  if (flops_out) *flops_out = best_flops;
+  return best;
+}
+
+// Estimated FLOPs for one full PP cache build (all pairs + singles with
+// prefix memoization, chains in descending-size order).
+double plan_pp_cache_flops(const int64_t* sizes, int order, int64_t rank) {
+  // enumerate memoized chain prefixes: keys are priority-ordered subsets
+  // of contracted modes of size order-2 (pairs) and order-1 (singles).
+  std::vector<int> pr(order);
+  plan_chain_priority(sizes, order, rank, pr.data());
+  // Collect all keys
+  std::vector<std::vector<int>> keys;
+  for (int i = 0; i < order; i++)
+    for (int j = i + 1; j < order; j++) {
+      std::vector<int> key;
+      for (int m : pr)
+        if (m != i && m != j) key.push_back(m);
+      keys.push_back(key);
+    }
+  for (int i = 0; i < order; i++) {
+    std::vector<int> key;
+    for (int m : pr)
+      if (m != i) key.push_back(m);
+    keys.push_back(key);
+  }
+  // Cost every distinct prefix exactly once.
+  std::vector<std::vector<int>> seen;
+  double flops = 0.0;
+  for (auto& key : keys) {
+    for (size_t L = 1; L <= key.size(); L++) {
+      std::vector<int> prefix(key.begin(), key.begin() + L);
+      if (std::find(seen.begin(), seen.end(), prefix) != seen.end()) continue;
+      seen.push_back(prefix);
+      double E = 1.0;  // size of the (L-1)-prefix intermediate
+      for (int m = 0; m < order; m++) E *= (double)sizes[m];
+      for (size_t t = 0; t + 1 < L; t++) E /= (double)sizes[prefix[t]];
+      if (L == 1) {
+        flops += 2.0 * E * (double)rank;  // introduces rank axis
+      } else {
+        flops += 2.0 * E * (double)rank;
+      }
+    }
+  }
+  return flops;
+}
+
+}  // extern "C"

@@ -32,6 +32,17 @@ def read_dense_binary(path: str, shape: Sequence[int], file_dtype="<f8",
     intermediate copy."""
     shape = tuple(int(s) for s in shape)
     n = int(np.prod(shape))
+    # fast path: threaded native loader (native/loader.cpp)
+    if np.dtype(file_dtype) == np.dtype("<f8"):
+        from pairwise_perturbation_tpu import native
+        if np.dtype(out_dtype) == np.float32:
+            out = native.load_f64_as_f32(path, shape)
+            if out is not None:
+                return out
+        elif np.dtype(out_dtype) == np.float64:
+            out = native.load_f64(path, shape)
+            if out is not None:
+                return out
     mm = np.memmap(path, dtype=file_dtype, mode="r", shape=(n,))
     out = np.empty(n, dtype=out_dtype)
     for lo in range(0, n, chunk_elems):
