@@ -26,6 +26,8 @@ class NumericConfig:
     # takes raw reciprocals of ScaLAPACK singular values (common.cxx:720-722);
     # a tiny relative cutoff is the f32-safe equivalent.
     rcond: float = 1e-12
+    # Use fused Pallas kernels on TPU where available (order-3 MTTKRP).
+    use_pallas: bool = True
 
 
 _cfg = NumericConfig()

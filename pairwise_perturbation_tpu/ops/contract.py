@@ -60,13 +60,24 @@ def _einsum(spec, *ops, precision=None):
 # ---------------------------------------------------------------------------
 
 
-def mttkrp(V, factors: Sequence, mode: int, precision=None):
+def mttkrp(V, factors: Sequence, mode: int, precision=None,
+           use_pallas: bool = None):
     """Exact MTTKRP for ``mode``: M[i_mode, r] = sum V * prod_{j != mode} W_j.
 
     Reference: ``KhatriRao_contract`` — M["dk"] = V["abcd"] W1["ak"] W2["bk"]
     W3["ck"] (common.cxx:929).
+
+    For order-3 f32 tensors on TPU the fused Pallas kernel (one HBM pass,
+    no (I,J,R) intermediate) is used when ``config.get().use_pallas`` (or
+    the explicit ``use_pallas`` argument) is set.
     """
     order = V.ndim
+    if use_pallas is None:
+        use_pallas = getattr(config.get(), "use_pallas", False)
+    if (use_pallas and order == 3 and V.dtype == jnp.float32
+            and jax.default_backend() != "cpu"):
+        from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
+        return mttkrp_pallas.mttkrp3_mode(V, factors, mode)
     il = _MODES[:order]
     terms, ops = [il], [V]
     for j in range(order):
