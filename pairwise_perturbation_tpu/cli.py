@@ -92,9 +92,18 @@ def cmd_test_als(args) -> int:
     t0 = time.perf_counter()
 
     if args.model == "CP":
-        Ws = cp.init_factors(V.shape, args.rank,
-                             key=jax.random.PRNGKey(args.seed),
-                             dtype=_np_dtype(args.dtype))
+        if args.resume:
+            from pairwise_perturbation_tpu.utils import io as ppio
+            ck = ppio.load_checkpoint(args.resume)
+            Ws = [jnp.asarray(W, dtype=_np_dtype(args.dtype))
+                  for W in ck["factors"]]
+            if not args.quiet:
+                print(f"resumed {len(Ws)} factors from {args.resume} "
+                      f"(iteration {ck['iteration']})")
+        else:
+            Ws = cp.init_factors(V.shape, args.rank,
+                                 key=jax.random.PRNGKey(args.seed),
+                                 dtype=_np_dtype(args.dtype))
         Vd, Ws, layout = _maybe_shard(V, Ws, args)
         cfg = cp.CPConfig(tol=args.tol * Vnorm, pp_res_tol=args.pp_res_tol,
                           lam=args.lam, ratio_step=args.magni,

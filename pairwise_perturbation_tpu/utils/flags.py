@@ -52,6 +52,8 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-checkpoint", default="",
                    help="path prefix for factor checkpoints")
+    p.add_argument("-resume", default="",
+                   help="checkpoint path to resume factors from")
     p.add_argument("-quiet", action="store_true")
     return p
 

@@ -87,3 +87,23 @@ def test_cli_checkpoint(tmp_path):
     back = ppio.load_checkpoint(ck)
     assert len(back["factors"]) == 3
     assert back["meta"]["model"] == "CP"
+
+
+def test_cli_resume(tmp_path):
+    out = str(tmp_path / "cp.csv")
+    ck = str(tmp_path / "ckpt")
+    cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "0",
+              "-dim", "3", "-size", "6", "-rank", "2", "-maxiter", "5",
+              "-resprint", "5", "-filename", out, "-checkpoint", ck,
+              "-dtype", "float64", "-quiet"])
+    out2 = str(tmp_path / "cp2.csv")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "0",
+                   "-dim", "3", "-size", "6", "-rank", "2", "-maxiter", "5",
+                   "-resprint", "5", "-filename", out2, "-resume", ck,
+                   "-dtype", "float64", "-quiet"])
+    assert rc == 0
+    rows1 = _read_csv(out)
+    rows2 = _read_csv(out2)
+    # resumed run starts from the checkpointed factors: first-row residual
+    # of run 2 should be <= the final residual of run 1 (same data)
+    assert float(rows2[1][5]) <= float(rows1[-1][5]) * 1.01
