@@ -381,3 +381,159 @@ def als_cp_pp(V, Ws, cfg: CPConfig, plot: Optional[PlotFile] = None,
             break
     return CPResult(Ws, state["gradnorm"], state["diffV"], state["iter"],
                     reason == "converged", state["history"])
+
+
+# ---------------------------------------------------------------------------
+# Device-resident phase loops (lax.while_loop)
+# ---------------------------------------------------------------------------
+#
+# The host-driven drivers above sync scalars to the host every sweep (the
+# reference does the same through MPI, where it is free). On TPU — and
+# especially through a relay — a per-sweep host round-trip can dominate the
+# millisecond-scale sweeps. These variants keep the whole DT / PP phase on
+# device in a lax.while_loop: the restart tolerances, sweep caps, and
+# convergence checks are evaluated on device with exactly the reference's
+# per-sweep semantics, and the host syncs once per *phase*. Per-sweep
+# gradnorm and residual estimates are recorded into a fixed-size history
+# buffer (residual via the exact-solve identity ||V-Vhat||^2 =
+# ||V||^2 - <S_last, W_last^T W_last>, which is exact for lambda=0 exact
+# solves and an estimate during PP sweeps).
+
+
+def _sweep_norm_stats(V_norm_sq, Ws, grads, lam):
+    order = len(Ws)
+    gn = jnp.sqrt(sum(jnp.vdot(g, g) for g in grads))
+    S_last = contract.hadamard_gram(Ws, skip_mode=order - 1, regul=lam)
+    vhat_sq = jnp.sum(S_last * contract.gram(Ws[order - 1]))
+    diffV = jnp.sqrt(jnp.maximum(V_norm_sq - vhat_sq, 0.0))
+    return gn, diffV
+
+
+@partial(jax.jit, static_argnames=("solver", "max_sweeps"))
+def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget,
+                    *, solver: str = "svd", max_sweeps: int = 256):
+    """Run DT sweeps on device until all modes are quiet
+    (||dW||/||W|| < tol_init for every mode, alsCP_DT_sub:594-605),
+    convergence (gradnorm < gn_tol), or the sweep budget.
+
+    Returns (n_sweeps, Ws, dWs, gn, quiet_flag, hist[max_sweeps, 2]).
+    """
+    order = V.ndim
+    V_norm_sq = jnp.vdot(V, V)
+
+    def body(carry):
+        k, Ws, W_prev, dWs, gn, quiet, hist = carry
+        Ws2, grads = dt_sweep(V, list(Ws), lam, solver=solver)
+        dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
+        ratios = factor_norm_ratios(list(Ws2), list(dWs2))
+        quiet2 = jnp.all(jnp.abs(ratios) < tol_init)
+        gn2, diffV = _sweep_norm_stats(V_norm_sq, Ws2, grads, lam)
+        hist = hist.at[k].set(jnp.stack([gn2, diffV]))
+        return (k + 1, tuple(Ws2), tuple(Ws2), dWs2, gn2, quiet2, hist)
+
+    def cond(carry):
+        k, _, _, _, gn, quiet, _ = carry
+        return (k < it_budget) & jnp.logical_not(quiet) & (gn >= gn_tol)
+
+    hist0 = jnp.zeros((max_sweeps, 2), V.dtype)
+    zero_dWs = tuple(jnp.zeros_like(W) for W in Ws)
+    init = (jnp.asarray(0), tuple(Ws), zero_dWs, zero_dWs,
+            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), hist0)
+    k, Ws_f, _, dWs_f, gn, quiet, hist = jax.lax.while_loop(cond, body, init)
+    return k, list(Ws_f), list(dWs_f), gn, quiet, hist
+
+
+@partial(jax.jit, static_argnames=("solver", "max_sweeps"))
+def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
+                    *, solver: str = "svd", max_sweeps: int = 15):
+    """Build PP caches and run PP sweeps on device until the restart
+    tolerance trips (any ||dW||/||W|| > tol_init, alsCP_PP_sub:656-671),
+    the 15-sweep cache cap, convergence, or the budget.
+
+    Returns (n_sweeps, Ws, dWs, gn, hist[max_sweeps, 2]).
+    """
+    order = V.ndim
+    V_norm_sq = jnp.vdot(V, V)
+    single, pair = contract.build_pp_caches(V, list(Ws))
+    W_init = tuple(Ws)
+
+    def body(carry):
+        k, Ws, dWs, gn, broke, hist = carry
+        Ws2, dWs2, grads = pp_sweep(single, pair, list(Ws), list(W_init),
+                                    list(dWs), lam, ratio_step, solver=solver)
+        ratios = factor_norm_ratios(list(Ws2), list(dWs2))
+        broke2 = jnp.any(jnp.abs(ratios) > tol_init)
+        gn2, diffV = _sweep_norm_stats(V_norm_sq, Ws2, grads, lam)
+        hist = hist.at[k].set(jnp.stack([gn2, diffV]))
+        return (k + 1, tuple(Ws2), tuple(dWs2), gn2, broke2, hist)
+
+    def cond(carry):
+        k, _, _, gn, broke, _ = carry
+        return (k < it_budget) & jnp.logical_not(broke) & (gn >= gn_tol)
+
+    hist0 = jnp.zeros((max_sweeps, 2), V.dtype)
+    zero_dWs = tuple(jnp.zeros_like(W) for W in Ws)
+    init = (jnp.asarray(0), tuple(Ws), zero_dWs,
+            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), hist0)
+    k, Ws_f, dWs_f, gn, broke, hist = jax.lax.while_loop(cond, body, init)
+    return k, list(Ws_f), list(dWs_f), gn, hist
+
+
+def als_cp_pp_device(V, Ws, cfg: CPConfig,
+                     plot: Optional[PlotFile] = None,
+                     clock: Optional[SweepClock] = None) -> CPResult:
+    """Device-resident DT <-> PP solver: one host sync per phase.
+
+    Same phase machine as :func:`als_cp_pp`; per-sweep history rows come
+    from the device buffers (dtime interpolated within each phase).
+    """
+    V = jnp.asarray(V)
+    Ws = _as_list(Ws)
+    clock = clock or SweepClock()
+    lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    tol_init = jnp.asarray(cfg.pp_res_tol, dtype=V.dtype)
+    gn_tol = jnp.asarray(cfg.tol, dtype=V.dtype)
+    history: list = []
+    it = 0
+    gn = float("inf")
+    diffV = float("inf")
+    max_dt = cfg.maxiter + 1
+
+    def _log_phase(hist, n, pp_flag, t_start, t_end):
+        nonlocal it, gn, diffV
+        h = np.asarray(hist[:n])
+        for row_i in range(n):
+            dt_row = t_start + (t_end - t_start) * (row_i + 1) / max(n, 1)
+            gn, diffV = float(h[row_i, 0]), float(h[row_i, 1])
+            if it % cfg.resprint == 0 or it == cfg.maxiter:
+                if plot is not None:
+                    plot.row(V.shape[0], it, gn, cfg.tol, pp_flag, diffV,
+                             dt_row)
+                history.append(dict(iter=it, gradnorm=gn, diffV=diffV,
+                                    dtime=dt_row, pp=pp_flag))
+            it += 1
+
+    while it <= cfg.maxiter:
+        t0 = clock.dtime()
+        budget = jnp.asarray(cfg.maxiter + 1 - it)
+        n, Ws, dWs, gn_d, quiet, hist = dt_phase_device(
+            V, Ws, lam, tol_init, gn_tol, budget, solver=cfg.solver,
+            max_sweeps=max_dt)
+        n = int(n)
+        t1 = clock.dtime()
+        _log_phase(hist, n, 0, t0, t1)
+        if float(gn_d) < cfg.tol or it > cfg.maxiter or t1 > cfg.timelimit:
+            gn = float(gn_d)
+            break
+        t0 = clock.dtime()
+        budget = jnp.asarray(min(cfg.pp_cache_sweeps, cfg.maxiter + 1 - it))
+        n, Ws, dWs, gn_d, hist = pp_phase_device(
+            V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget,
+            solver=cfg.solver, max_sweeps=cfg.pp_cache_sweeps)
+        n = int(n)
+        t1 = clock.dtime()
+        _log_phase(hist, n, 1, t0, t1)
+        gn = float(gn_d)
+        if gn < cfg.tol or t1 > cfg.timelimit:
+            break
+    return CPResult(Ws, gn, diffV, it, gn < cfg.tol, history)
