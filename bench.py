@@ -35,6 +35,14 @@ def _pull(x):
 def main() -> int:
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache: repeated driver runs skip XLA compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/pp_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from pairwise_perturbation_tpu.models import cp
 
     shape = (3, 128, 128, 7200)

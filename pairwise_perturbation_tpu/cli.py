@@ -114,7 +114,10 @@ def cmd_test_als(args) -> int:
         if args.pp == 0:
             res = cp.als_cp_dt(Vd, Ws, cfg, plot)
         elif args.pp == 1:
-            res = cp.als_cp_pp(Vd, Ws, cfg, plot)
+            if args.device_loop:
+                res = cp.als_cp_pp_device(Vd, Ws, cfg, plot)
+            else:
+                res = cp.als_cp_pp(Vd, Ws, cfg, plot)
         else:
             res = cp.als_cp_pp(Vd, Ws, cfg, plot, partial_update=True)
         plot.close()
@@ -136,7 +139,10 @@ def cmd_test_als(args) -> int:
         if args.pp == 0:
             res = tucker.als_tucker(V, ranks, cfg, plot)
         else:
-            res = tucker.als_tucker_pp(V, ranks, cfg, plot)
+            if args.device_loop:
+                res = tucker.als_tucker_pp_device(V, ranks, cfg, plot)
+            else:
+                res = tucker.als_tucker_pp(V, ranks, cfg, plot)
         plot.close()
         if args.checkpoint:
             from pairwise_perturbation_tpu.utils import io as ppio

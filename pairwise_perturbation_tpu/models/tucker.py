@@ -374,3 +374,148 @@ def als_tucker_pp(V, ranks, cfg: TuckerConfig,
     return TuckerResult(Ws, state["core"], state["diffnorm"], state["diffV"],
                         state["iter"], reason == "converged",
                         state["history"])
+
+
+# ---------------------------------------------------------------------------
+# Device-resident phase loops (lax.while_loop) — see models/cp.py for the
+# rationale: one host sync per phase instead of per sweep.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ranks", "max_sweeps"))
+def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
+                           *, ranks: Tuple[int, ...], max_sweeps: int = 256):
+    """DT Tucker sweeps on device until all modes quiet / diffnorm < tol /
+    budget. Returns (n, Ws, dWs, core, diffnorm, quiet, hist[max_sweeps,2])
+    with hist rows = [diffnorm, diffV_est]."""
+    V_norm_sq = jnp.vdot(V, V)
+
+    def body(carry):
+        k, Ws, W_prev, dWs, cn_prev, dn, quiet, core, hist = carry
+        Ws2, core2 = tucker_dt_sweep(V, list(Ws), list(W_prev), ranks=ranks,
+                                     use_sign=True)
+        dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
+        from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+        ratios = factor_norm_ratios(list(Ws2), list(dWs2))
+        quiet2 = jnp.all(jnp.abs(ratios) < tol_init)
+        cn = jnp.linalg.norm(core2.ravel())
+        dn2 = jnp.abs(cn - cn_prev)
+        diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
+        hist = hist.at[k].set(jnp.stack([dn2, diffV]))
+        return (k + 1, tuple(Ws2), tuple(Ws2), dWs2, cn, dn2, quiet2, core2,
+                hist)
+
+    def cond(carry):
+        k, _, _, _, _, dn, quiet, _, _ = carry
+        return (k < it_budget) & jnp.logical_not(quiet) & (dn >= diff_tol)
+
+    core0 = contract.ttmc(V, list(Ws), skip_mode=-1)
+    hist0 = jnp.zeros((max_sweeps, 2), V.dtype)
+    zeros = tuple(jnp.zeros_like(W) for W in Ws)
+    init = (jnp.asarray(0), tuple(Ws), zeros, zeros,
+            jnp.linalg.norm(core0.ravel()),
+            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), core0, hist0)
+    k, Ws_f, _, dWs_f, cn, dn, quiet, core, hist = jax.lax.while_loop(
+        cond, body, init)
+    return k, list(Ws_f), list(dWs_f), core, dn, quiet, hist
+
+
+@partial(jax.jit, static_argnames=("ranks", "max_sweeps"))
+def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget,
+                           *, ranks: Tuple[int, ...], max_sweeps: int = 64):
+    """PP Tucker sweeps on device until the restart tolerance trips /
+    diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist)."""
+    V_norm_sq = jnp.vdot(V, V)
+    single, pair = contract.build_ttmc_caches(V, list(Ws))
+    W_init = tuple(Ws)
+
+    def body(carry):
+        k, Ws, dWs, cn_prev, dn, broke, core, hist = carry
+        Ws2, dWs2, core2 = tucker_pp_sweep(single, pair, list(Ws),
+                                           list(W_init), list(dWs),
+                                           ranks=ranks)
+        from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+        ratios = factor_norm_ratios(list(Ws2), list(dWs2))
+        broke2 = jnp.any(jnp.abs(ratios) > tol_init)
+        cn = jnp.linalg.norm(core2.ravel())
+        dn2 = jnp.abs(cn - cn_prev)
+        diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
+        hist = hist.at[k].set(jnp.stack([dn2, diffV]))
+        return (k + 1, tuple(Ws2), tuple(dWs2), cn, dn2, broke2, core2, hist)
+
+    def cond(carry):
+        k, _, _, _, dn, broke, _, _ = carry
+        return (k < it_budget) & jnp.logical_not(broke) & (dn >= diff_tol)
+
+    core0 = contract.ttmc(V, list(Ws), skip_mode=-1)
+    hist0 = jnp.zeros((max_sweeps, 2), V.dtype)
+    zeros = tuple(jnp.zeros_like(W) for W in Ws)
+    init = (jnp.asarray(0), tuple(Ws), zeros,
+            jnp.linalg.norm(core0.ravel()),
+            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), core0, hist0)
+    k, Ws_f, dWs_f, cn, dn, broke, core, hist = jax.lax.while_loop(
+        cond, body, init)
+    return k, list(Ws_f), list(dWs_f), core, dn, hist
+
+
+def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
+                         plot: Optional[PlotFile] = None,
+                         Ws: Optional[List] = None,
+                         clock: Optional[SweepClock] = None) -> TuckerResult:
+    """Device-resident Tucker DT <-> PP machine with tol_init decay."""
+    V = jnp.asarray(V)
+    ranks = tuple(int(r) for r in ranks)
+    if Ws is None:
+        core, Ws = hosvd(V, ranks)
+    else:
+        Ws = [jnp.asarray(W) for W in Ws]
+        core = contract.ttmc(V, Ws, skip_mode=-1)
+    clock = clock or SweepClock()
+    tol_init = cfg.pp_res_tol
+    history: list = []
+    it = 0
+    dn = float("inf")
+    diffV = float("inf")
+
+    def _log(hist, n, pp_flag, t0, t1):
+        nonlocal it, dn, diffV
+        h = np.asarray(hist[:n])
+        for i in range(n):
+            dn, diffV = float(h[i, 0]), float(h[i, 1])
+            dt_row = t0 + (t1 - t0) * (i + 1) / max(n, 1)
+            if it % cfg.resprint == 0 or it == cfg.maxiter:
+                if plot is not None:
+                    plot.row(V.shape[0], it, dn, cfg.tol, pp_flag, diffV,
+                             dt_row)
+                history.append(dict(iter=it, diffnorm=dn, diffV=diffV,
+                                    dtime=dt_row, pp=pp_flag))
+            it += 1
+
+    while it <= cfg.maxiter:
+        t0 = clock.dtime()
+        budget = jnp.asarray(cfg.maxiter + 1 - it)
+        n, Ws, dWs, core, dn_d, quiet, hist = tucker_dt_phase_device(
+            V, Ws, jnp.asarray(tol_init, V.dtype),
+            jnp.asarray(cfg.tol, V.dtype), budget, ranks=ranks,
+            max_sweeps=cfg.maxiter + 1)
+        n = int(n)
+        t1 = clock.dtime()
+        _log(hist, n, 0, t0, t1)
+        if float(dn_d) < cfg.tol or it > cfg.maxiter or t1 > cfg.timelimit:
+            dn = float(dn_d)
+            break
+        t0 = clock.dtime()
+        budget = jnp.asarray(cfg.maxiter + 1 - it)
+        n, Ws, dWs, core, dn_d, hist = tucker_pp_phase_device(
+            V, Ws, jnp.asarray(tol_init, V.dtype),
+            jnp.asarray(cfg.tol, V.dtype), budget, ranks=ranks,
+            max_sweeps=cfg.maxiter + 1)
+        n = int(n)
+        t1 = clock.dtime()
+        _log(hist, n, 1, t0, t1)
+        dn = float(dn_d)
+        if dn < cfg.tol or t1 > cfg.timelimit:
+            break
+        if tol_init > cfg.tol_init_floor:
+            tol_init *= cfg.tol_init_decay
+    return TuckerResult(Ws, core, dn, diffV, it, dn < cfg.tol, history)

@@ -54,6 +54,9 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                    help="path prefix for factor checkpoints")
     p.add_argument("-resume", default="",
                    help="checkpoint path to resume factors from")
+    p.add_argument("-device_loop", type=int, default=0,
+                   help="1: run DT/PP phases fully on device "
+                        "(lax.while_loop; one host sync per phase)")
     p.add_argument("-quiet", action="store_true")
     return p
 

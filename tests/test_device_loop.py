@@ -76,3 +76,25 @@ def test_device_vs_host_pp_same_fit(rng):
     res_host = cp.als_cp_pp(V, [jnp.array(w) for w in W0], cfg)
     res_dev = cp.als_cp_pp_device(V, [jnp.array(w) for w in W0], cfg)
     assert res_dev.diffV < max(10 * res_host.diffV, 1e-5 * Vn)
+
+
+def test_tucker_device_pp_converges(rng):
+    from pairwise_perturbation_tpu.models import tucker
+    shape, ranks = (8, 8, 8, 8), (3, 3, 3, 3)
+    core = rng.standard_normal(ranks)
+    Ws = [np.linalg.qr(rng.standard_normal((s, r)))[0]
+          for s, r in zip(shape, ranks)]
+    V = np.einsum("PQRS,aP,bQ,cR,dS->abcd", core, *Ws)
+    V = V + 0.02 * np.linalg.norm(V) / (np.prod(shape) ** 0.5) \
+        * rng.standard_normal(shape)
+    Vn = np.linalg.norm(V)
+    cfg = tucker.TuckerConfig(tol=1e-12 * Vn, pp_res_tol=0.3, maxiter=40,
+                              resprint=1)
+    res = tucker.als_tucker_pp_device(V, ranks, cfg)
+    assert np.isfinite(res.diffV)
+    # fit comparable to the host-driven machine
+    res_h = tucker.als_tucker_pp(V, ranks,
+                                 tucker.TuckerConfig(tol=1e-12 * Vn,
+                                                     pp_res_tol=0.3,
+                                                     maxiter=40, resprint=1))
+    assert res.diffV < max(1.5 * res_h.diffV, 1e-5 * Vn)
