@@ -499,6 +499,17 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
     diffV = float("inf")
     max_dt = cfg.maxiter + 1
 
+    # trigger XLA compiles with zero sweep budgets (while_loop bodies are
+    # compiled but never executed), then start the clock — keeps one-time
+    # compile latency out of the reported dtime trajectory.
+    _warm = dt_phase_device(V, Ws, lam, tol_init, gn_tol, jnp.asarray(0),
+                            solver=cfg.solver, max_sweeps=max_dt)
+    _warm2 = pp_phase_device(V, Ws, lam, cfg.ratio_step, tol_init, gn_tol,
+                             jnp.asarray(0), solver=cfg.solver,
+                             max_sweeps=cfg.pp_cache_sweeps)
+    jax.block_until_ready((_warm[3], _warm2[3]))
+    clock.reset()
+
     def _log_phase(hist, n, pp_flag, t_start, t_end):
         nonlocal it, gn, diffV
         h = np.asarray(hist[:n])

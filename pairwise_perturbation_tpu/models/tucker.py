@@ -477,6 +477,16 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
     dn = float("inf")
     diffV = float("inf")
 
+    # compile warm-up with zero sweep budgets, then start the clock
+    _w1 = tucker_dt_phase_device(
+        V, Ws, jnp.asarray(tol_init, V.dtype), jnp.asarray(cfg.tol, V.dtype),
+        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1)
+    _w2 = tucker_pp_phase_device(
+        V, Ws, jnp.asarray(tol_init, V.dtype), jnp.asarray(cfg.tol, V.dtype),
+        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1)
+    jax.block_until_ready((_w1[3], _w2[3]))
+    clock.reset()
+
     def _log(hist, n, pp_flag, t0, t1):
         nonlocal it, dn, diffV
         h = np.asarray(hist[:n])

@@ -121,3 +121,16 @@ def test_regularization_lambda(rng):
     cfg = cp.CPConfig(tol=0.0, maxiter=40, resprint=10, lam=1e-6)
     res = cp.als_cp_dt(V, Ws, cfg)
     assert res.diffV < 1e-2 * np.linalg.norm(V)
+
+
+def test_pp_order3(rng):
+    """Order-3 PP: pair caches are the whole first-contraction level
+    (BASELINE config 2: order-3 rank-10 PP)."""
+    shape = (12, 13, 14)
+    V, _ = rank_r_tensor(rng, shape, 4)
+    Ws = cp.init_factors(shape, 4, dtype=jnp.float64)
+    Vn = np.linalg.norm(V)
+    cfg = cp.CPConfig(tol=1e-9 * Vn, pp_res_tol=0.1, maxiter=120, resprint=5)
+    res = cp.als_cp_pp(V, Ws, cfg)
+    assert res.diffV < 1e-3 * Vn
+    assert any(h["pp"] == 1 for h in res.history)
