@@ -107,3 +107,47 @@ def test_cli_resume(tmp_path):
     # resumed run starts from the checkpointed factors: first-row residual
     # of run 2 should be <= the final residual of run 1 (same data)
     assert float(rows2[1][5]) <= float(rows1[-1][5]) * 1.01
+
+
+def test_cli_poisson_folded(tmp_path):
+    """'p' fixture: dim-8 Poisson folded to order 4 (modes s^2)."""
+    out = str(tmp_path / "p.csv")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "p", "-pp", "0",
+                   "-dim", "8", "-size", "4", "-rank", "4", "-maxiter", "10",
+                   "-resprint", "5", "-filename", out, "-dtype", "float64",
+                   "-quiet"])
+    assert rc == 0
+    rows = _read_csv(out)
+    diffs = [float(r[5]) for r in rows[1:] if len(r) == 7]
+    assert diffs[-1] < diffs[0]
+
+
+def test_cli_p2_order6(tmp_path):
+    out = str(tmp_path / "p2.csv")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "p2", "-pp", "0",
+                   "-dim", "6", "-size", "4", "-rank", "3", "-maxiter", "8",
+                   "-resprint", "4", "-filename", out, "-dtype", "float64",
+                   "-quiet"])
+    assert rc == 0
+
+
+def test_cli_run_lr_optimizers(tmp_path):
+    for pp in (2, 3):
+        out = str(tmp_path / f"lr{pp}.csv")
+        rc = cli.main(["run", "-model", "CP", "-tensor", "r", "-pp", str(pp),
+                       "-dim", "4", "-size", "6", "-rank", "3",
+                       "-updaterank", "2", "-maxiter", "12", "-resprint", "4",
+                       "-filename", out, "-dtype", "float64", "-quiet"])
+        assert rc == 0
+        rows = _read_csv(out)
+        diffs = [float(r[5]) for r in rows[1:] if len(r) == 7]
+        assert diffs[-1] < diffs[0]
+
+
+def test_cli_bfloat16_smoke(tmp_path):
+    out = str(tmp_path / "bf16.csv")
+    rc = cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "0",
+                   "-dim", "3", "-size", "8", "-rank", "3", "-maxiter", "5",
+                   "-resprint", "5", "-filename", out, "-dtype", "bfloat16",
+                   "-quiet"])
+    assert rc == 0
