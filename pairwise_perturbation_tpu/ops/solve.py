@@ -77,10 +77,26 @@ def cholesky_solve(M, S, precision=None):
     return Wt.T
 
 
+def auto_solve(M, S, rcond: Optional[float] = None, precision=None):
+    """Cholesky solve with an on-device pseudo-inverse fallback when S is
+    numerically not positive definite (the collinearity fixtures are built
+    to make S near-singular — the reason SVD_solve exists in the reference,
+    common.cxx:710-725). Both branches compile; runtime picks via cond."""
+    L = jnp.linalg.cholesky(S)
+    ok = jnp.all(jnp.isfinite(L))
+    return jax.lax.cond(
+        ok,
+        lambda _: cholesky_solve(M, S, precision),
+        lambda _: svd_solve(M, S, rcond, precision),
+        None)
+
+
 def solve(M, S, method: str = "chol", rcond: Optional[float] = None,
           precision=None):
     if method == "chol":
         return cholesky_solve(M, S, precision)
+    if method == "auto":
+        return auto_solve(M, S, rcond, precision)
     return svd_solve(M, S, rcond, precision)
 
 

@@ -1,0 +1,56 @@
+"""Numerical-risk tests (SURVEY.md section 7 'hard parts'): f32 vs f64 on
+the ill-conditioned collinearity fixture, and the auto solver fallback."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pairwise_perturbation_tpu.models import cp
+from pairwise_perturbation_tpu.ops import solve
+from pairwise_perturbation_tpu.utils import synth
+
+
+def test_auto_solve_falls_back_on_singular():
+    # singular PSD matrix
+    S = jnp.asarray(np.diag([1.0, 1.0, 0.0]))
+    W_true = np.array([[1.0, 2.0, 0.0], [3.0, 4.0, 0.0]])
+    M = jnp.asarray(W_true @ np.asarray(S))
+    W = solve.auto_solve(M, S)
+    assert np.all(np.isfinite(np.asarray(W)))
+    np.testing.assert_allclose(np.asarray(W)[:, :2], W_true[:, :2],
+                               rtol=1e-6)
+
+
+def test_auto_solve_uses_cholesky_when_spd(rng):
+    A = rng.standard_normal((4, 4))
+    S = jnp.asarray(A @ A.T + 4 * np.eye(4))
+    W_true = rng.standard_normal((6, 4))
+    M = jnp.asarray(W_true @ np.asarray(S))
+    W = solve.auto_solve(M, S)
+    np.testing.assert_allclose(np.asarray(W), W_true, rtol=1e-8)
+
+
+def test_collinearity_f32_tracks_f64(rng):
+    """The 'c' fixture makes S near-singular; the f32 path (TPU reality)
+    must track the f64 trajectory within loose tolerance."""
+    V = synth.make_tensor("c", dim=4, s=8, R=3, seed=1, dtype=np.float64)
+    Vn = np.linalg.norm(V)
+    W0 = cp.init_factors(V.shape, 3, dtype=jnp.float64)
+    cfg = cp.CPConfig(tol=0.0, maxiter=40, resprint=10)
+    res64 = cp.als_cp_dt(V, [jnp.asarray(w) for w in W0], cfg)
+    res32 = cp.als_cp_dt(V.astype(np.float32),
+                         [jnp.asarray(w, dtype=jnp.float32) for w in W0], cfg)
+    rel64 = res64.diffV / Vn
+    rel32 = res32.diffV / Vn
+    assert abs(rel32 - rel64) < 0.02, (rel32, rel64)
+
+
+def test_collinearity_pp_converges_f32(rng):
+    V = synth.make_tensor("c", dim=4, s=8, R=3, seed=1, dtype=np.float32)
+    Vn = np.linalg.norm(V)
+    W0 = cp.init_factors(V.shape, 3, dtype=jnp.float32)
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.1, maxiter=60, resprint=10)
+    res = cp.als_cp_pp(V, W0, cfg)
+    assert res.diffV < 0.3 * Vn
+    gns = [h["gradnorm"] for h in res.history if np.isfinite(h["gradnorm"])]
+    assert gns[-1] < gns[0]
