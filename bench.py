@@ -103,6 +103,39 @@ def main() -> int:
         pp_sweep_time = max(
             (time.perf_counter() - t0 - pull_overhead) / npp, 1e-9)
 
+        # BASELINE config 1: order-3 200^3 rank-10 exact ALS sweep, with and
+        # without the fused Pallas MTTKRP kernel
+        import pairwise_perturbation_tpu.config as ppcfg
+        V3 = jax.random.uniform(jax.random.PRNGKey(3), (200, 200, 200),
+                                dtype=dtype)
+        Ws3 = [jax.random.uniform(jax.random.PRNGKey(40 + i), (200, R),
+                                  dtype=dtype) for i in range(3)]
+
+        from functools import partial as _partial
+
+        from pairwise_perturbation_tpu.ops import contract, solve as ppsolve
+
+        @_partial(jax.jit, static_argnames=("use_pallas",))
+        def o3_sweep(V, Ws, *, use_pallas):
+            Ws = list(Ws)
+            for i in range(3):
+                M = contract.mttkrp(V, Ws, i, use_pallas=use_pallas)
+                S = contract.hadamard_gram(Ws, skip_mode=i)
+                Ws[i] = ppsolve.svd_solve(M, S)
+            return contract.normalize_factors(Ws)
+
+        def time_o3(use_pallas, n=50):
+            cur = o3_sweep(V3, list(Ws3), use_pallas=use_pallas)
+            _pull(cur[0])
+            t0 = time.perf_counter()
+            for _ in range(n):
+                cur = o3_sweep(V3, cur, use_pallas=use_pallas)
+            _pull(cur[0])
+            return max((time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
+
+        t_o3_xla = time_o3(False)
+        t_o3_pallas = time_o3(True)
+
         nnz = 1
         for s in shape:
             nnz *= s
@@ -115,6 +148,8 @@ def main() -> int:
             "host_pull_overhead_seconds": round(pull_overhead, 6),
             "dt_tflops_effective": round(
                 flops_per_sweep / dt_sweep_time / 1e12, 3),
+            "order3_200_sweep_seconds_xla": round(t_o3_xla, 6),
+            "order3_200_sweep_seconds_pallas": round(t_o3_pallas, 6),
             "config": "coil-100-shaped random, order-4 3x128x128x7200, rank 10, f32",
         }
         value = sweeps_per_sec

@@ -158,3 +158,36 @@ def sharded_mttkrp(V, Ws: Sequence, mode: int, layout: ShardedLayout):
                       in_specs=(v_spec, *w_specs),
                       out_specs=P(out_axis, None))
     return f(V, *Ws)
+
+
+def constrained_pp_caches(V, Ws: Sequence, layout: ShardedLayout):
+    """PP cache build with explicit sharding constraints.
+
+    SURVEY.md section 7 'hard parts': at scale the O(N^2/2) pair caches
+    T_{ij}[s_i, s_j, R] dominate memory. Each cache keeps the sharding of
+    its retained modes (same axes as V), so the later correction
+    contractions T_{ij} x_j dW_j are local in the i-axis with a single
+    reduction over j's axis — no resharding. GSPMD usually infers this;
+    the constraint makes the layout deterministic.
+    """
+    from jax.lax import with_sharding_constraint
+
+    mesh = layout.mesh
+
+    def spec_for_pair(i, j):
+        return NamedSharding(mesh, P(layout.mode_axis.get(i),
+                                     layout.mode_axis.get(j), None))
+
+    def spec_for_single(i):
+        return NamedSharding(mesh, P(layout.mode_axis.get(i), None))
+
+    @jax.jit
+    def build(V, Ws):
+        single, pair = contract.build_pp_caches(V, list(Ws))
+        single = {i: with_sharding_constraint(x, spec_for_single(i))
+                  for i, x in single.items()}
+        pair = {k: with_sharding_constraint(x, spec_for_pair(*k))
+                for k, x in pair.items()}
+        return single, pair
+
+    return build(V, Ws)

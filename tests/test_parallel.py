@@ -79,3 +79,24 @@ def test_sharded_pp_end_to_end_matches_unsharded(rng):
     outs = pmesh.unshard_factors(res_shard.factors, layout)
     for a, b in zip(outs, res_plain.factors):
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-5, atol=1e-8)
+
+
+def test_constrained_pp_caches_match_unconstrained(rng):
+    from pairwise_perturbation_tpu.ops import contract as ctr
+    mesh = pmesh.make_mesh((4, 2), ("x", "y"))
+    shape = (6, 8, 8, 6)
+    V = rng.standard_normal(shape)
+    Ws = [rng.standard_normal((s, 3)) for s in shape]
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+    Wss = pmesh.shard_factors(Ws, layout)
+    single_c, pair_c = pmesh.constrained_pp_caches(Vs, Wss, layout)
+    single_p, pair_p = ctr.build_pp_caches(jnp.asarray(V),
+                                           [jnp.asarray(W) for W in Ws])
+    for i in single_p:
+        got = np.asarray(single_c[i])[:shape[i], :]
+        np.testing.assert_allclose(got, np.asarray(single_p[i]), rtol=1e-9)
+    for (i, j) in pair_p:
+        got = np.asarray(pair_c[(i, j)])[:shape[i], :shape[j], :]
+        np.testing.assert_allclose(got, np.asarray(pair_p[(i, j)]),
+                                   rtol=1e-9)
