@@ -145,3 +145,8 @@ def make_tensor(name: str, dim: int, s: int, R: int,
     else:
         raise ValueError(f"unknown synthetic tensor '{name}'")
     return V.astype(dtype)
+
+
+def build_from_vectors(vecs: Sequence[np.ndarray]) -> np.ndarray:
+    """Rank-1 tensor from per-mode vectors (build_V_vec, common.cxx:304-359)."""
+    return reduce(np.multiply.outer, vecs)

@@ -151,3 +151,12 @@ def test_cli_bfloat16_smoke(tmp_path):
                    "-resprint", "5", "-filename", out, "-dtype", "bfloat16",
                    "-quiet"])
     assert rc == 0
+
+
+def test_graft_entry_compiles():
+    import jax
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert len(out) == 5
