@@ -60,6 +60,10 @@ class CPConfig:
     pp_cache_sweeps: int = 15     # hard cap per PP cache build (als_CP.cxx:667)
     bench: bool = False           # pp_bench timing mode
     seed: int = 0
+    # Materialize mode-minor permuted copies of V so first-level
+    # contractions avoid per-call XLA transposes (costs |V| HBM per
+    # layout; see contract.prepare_layouts).
+    precompute_layouts: bool = False
 
 
 @dataclass
@@ -78,7 +82,8 @@ class CPResult:
 
 
 @partial(jax.jit, static_argnames=("solver", "normalize"))
-def dt_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
+def dt_sweep(V, Ws, lam, layouts=None, *, solver: str = "svd",
+             normalize: bool = True):
     """One full DT-ALS sweep: per-mode MTTKRP from the binary dimension tree,
     S assembly, gradient, solve. Returns (Ws_new, grads).
 
@@ -88,7 +93,7 @@ def dt_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
     """
     order = V.ndim
     Ws = list(Ws)
-    sweep = dimtree.BinaryTreeSweep(V, Ws)
+    sweep = dimtree.BinaryTreeSweep(V, Ws, layouts=layouts)
     grads = [None] * order
     for i in range(order):
         M = sweep.mttkrp(i)
@@ -119,9 +124,9 @@ def simple_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
 
 
 @jax.jit
-def pp_build_caches(V, Ws):
+def pp_build_caches(V, Ws, layouts=None):
     """Build PP pair + single caches (als_CP.cxx:667-695)."""
-    return contract.build_pp_caches(V, Ws)
+    return contract.build_pp_caches(V, Ws, layouts=layouts)
 
 
 @partial(jax.jit, static_argnames=("solver", "normalize"))
@@ -228,6 +233,11 @@ def _als_generic(V, Ws, cfg: CPConfig, plot, sweep_fn, clock=None) -> CPResult:
     Ws = _as_list(Ws)
     V_norm_sq = jnp.vdot(V, V)
     clock = clock or SweepClock()
+    layouts = None
+    if cfg.precompute_layouts and sweep_fn is dt_sweep:
+        layouts = contract.prepare_layouts(
+            V, contract.chain_root_modes_dt(V.shape))
+        sweep_fn = partial(dt_sweep, layouts=layouts)
     history: list = []
     grads = None
     gn, diffV = float("inf"), float("inf")
@@ -410,7 +420,7 @@ def _sweep_norm_stats(V_norm_sq, Ws, grads, lam):
 
 
 @partial(jax.jit, static_argnames=("solver", "max_sweeps"))
-def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget,
+def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
                     *, solver: str = "svd", max_sweeps: int = 256):
     """Run DT sweeps on device until all modes are quiet
     (||dW||/||W|| < tol_init for every mode, alsCP_DT_sub:594-605),
@@ -423,7 +433,7 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget,
 
     def body(carry):
         k, Ws, W_prev, dWs, gn, quiet, hist = carry
-        Ws2, grads = dt_sweep(V, list(Ws), lam, solver=solver)
+        Ws2, grads = dt_sweep(V, list(Ws), lam, layouts, solver=solver)
         dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         quiet2 = jnp.all(jnp.abs(ratios) < tol_init)
@@ -445,7 +455,8 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget,
 
 @partial(jax.jit, static_argnames=("solver", "max_sweeps"))
 def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
-                    *, solver: str = "svd", max_sweeps: int = 15):
+                    layouts=None, *, solver: str = "svd",
+                    max_sweeps: int = 15):
     """Build PP caches and run PP sweeps on device until the restart
     tolerance trips (any ||dW||/||W|| > tol_init, alsCP_PP_sub:656-671),
     the 15-sweep cache cap, convergence, or the budget.
@@ -454,7 +465,7 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
     """
     order = V.ndim
     V_norm_sq = jnp.vdot(V, V)
-    single, pair = contract.build_pp_caches(V, list(Ws))
+    single, pair = contract.build_pp_caches(V, list(Ws), layouts=layouts)
     W_init = tuple(Ws)
 
     def body(carry):
@@ -499,13 +510,19 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
     diffV = float("inf")
     max_dt = cfg.maxiter + 1
 
+    layouts = None
+    if cfg.precompute_layouts:
+        modes = sorted(set(contract.chain_root_modes_dt(V.shape))
+                       | set(contract.chain_root_modes_pp(V.shape)))
+        layouts = contract.prepare_layouts(V, modes)
+
     # trigger XLA compiles with zero sweep budgets (while_loop bodies are
     # compiled but never executed), then start the clock — keeps one-time
     # compile latency out of the reported dtime trajectory.
     _warm = dt_phase_device(V, Ws, lam, tol_init, gn_tol, jnp.asarray(0),
-                            solver=cfg.solver, max_sweeps=max_dt)
+                            layouts, solver=cfg.solver, max_sweeps=max_dt)
     _warm2 = pp_phase_device(V, Ws, lam, cfg.ratio_step, tol_init, gn_tol,
-                             jnp.asarray(0), solver=cfg.solver,
+                             jnp.asarray(0), layouts, solver=cfg.solver,
                              max_sweeps=cfg.pp_cache_sweeps)
     jax.block_until_ready((_warm[3], _warm2[3]))
     clock.reset()
@@ -528,8 +545,8 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
         t0 = clock.dtime()
         budget = jnp.asarray(cfg.maxiter + 1 - it)
         n, Ws, dWs, gn_d, quiet, hist = dt_phase_device(
-            V, Ws, lam, tol_init, gn_tol, budget, solver=cfg.solver,
-            max_sweeps=max_dt)
+            V, Ws, lam, tol_init, gn_tol, budget, layouts,
+            solver=cfg.solver, max_sweeps=max_dt)
         n = int(n)
         t1 = clock.dtime()
         _log_phase(hist, n, 0, t0, t1)
@@ -539,7 +556,7 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
         t0 = clock.dtime()
         budget = jnp.asarray(min(cfg.pp_cache_sweeps, cfg.maxiter + 1 - it))
         n, Ws, dWs, gn_d, hist = pp_phase_device(
-            V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget,
+            V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget, layouts,
             solver=cfg.solver, max_sweeps=cfg.pp_cache_sweeps)
         n = int(n)
         t1 = clock.dtime()

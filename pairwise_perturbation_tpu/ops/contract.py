@@ -146,7 +146,70 @@ def order_by_priority(modes, priority: Sequence[int]) -> Tuple[int, ...]:
     return tuple(sorted(modes, key=lambda m: rank_of[m]))
 
 
-def build_pp_caches(V, factors: Sequence, precision=None):
+def prepare_layouts(V, modes: Sequence[int], precision=None):
+    """Materialize mode-minor permuted copies of V for the given modes.
+
+    On TPU, contracting a non-minor axis makes XLA transpose V (a full
+    extra read+write of HBM) on *every* call. A one-time permuted copy
+    V_perm[m] = moveaxis(V, m, -1) turns every first-level contraction of
+    mode m into a minor-dim GEMM at HBM speed of light. Memory cost:
+    |V| per layout — the classic TPU memory-for-bandwidth trade.
+    """
+    out = {}
+    for m in modes:
+        if m == V.ndim - 1:
+            continue  # already minor
+        out[m] = jnp.moveaxis(V, m, -1).copy()
+    return out
+
+
+def first_contraction(V, layouts, factor, mode: int, precision=None):
+    """V x_m W_m (Khatri-Rao first level) using a mode-minor layout of V
+    when available. Output axes: remaining modes ascending + rank (same
+    convention as :func:`contract_mode_kr`)."""
+    order = V.ndim
+    if layouts and mode in layouts:
+        Vp = layouts[mode]
+        k = Vp.ndim
+        letters = _MODES[:k]
+        spec = f"{letters},{letters[k-1]}{_RANK}->{letters[:k-1]}{_RANK}"
+        out = _einsum(spec, Vp, factor, precision=precision)
+        rem = tuple(m for m in range(order) if m != mode)
+        return out, rem
+    return contract_mode_kr(V, tuple(range(order)), False, factor, mode,
+                            precision=precision)
+
+
+def chain_root_modes_pp(shape) -> Tuple[int, ...]:
+    """Modes contracted first by some PP cache chain (candidates for
+    :func:`prepare_layouts`)."""
+    order = len(shape)
+    pr = contraction_priority(shape)
+    roots = set()
+    for i in range(order):
+        for j in range(i + 1, order):
+            key = order_by_priority(
+                (m for m in range(order) if m not in (i, j)), pr)
+            roots.add(key[0])
+        key = order_by_priority((m for m in range(order) if m != i), pr)
+        roots.add(key[0])
+    return tuple(sorted(roots))
+
+
+def chain_root_modes_dt(shape) -> Tuple[int, ...]:
+    """Modes contracted first when building the binary tree's top-level
+    nodes (one per child of the root)."""
+    order = len(shape)
+    pr = contraction_priority(shape)
+    mid = (order - 1) // 2
+    roots = set()
+    for lo, hi in ((0, mid), (mid + 1, order - 1)):
+        comp = [m for m in range(order) if not lo <= m <= hi]
+        roots.add(order_by_priority(comp, pr)[0])
+    return tuple(sorted(roots))
+
+
+def build_pp_caches(V, factors: Sequence, precision=None, layouts=None):
     """Build all PP caches: pair tensors T_{ij}[s_i, s_j, R] for i<j and
     single matrices M_i[s_i, R].
 
@@ -156,7 +219,8 @@ def build_pp_caches(V, factors: Sequence, precision=None):
     tuples; a chain sharing a prefix reuses the prefix intermediate.
     Chains follow :func:`contraction_priority` (largest modes first) so
     intermediates stay small. Intended to be called inside jit so XLA
-    fuses the whole build.
+    fuses the whole build. ``layouts`` (from :func:`prepare_layouts`)
+    accelerates the first contraction of each chain.
     """
     order = V.ndim
     priority = contraction_priority(V.shape)
@@ -164,9 +228,14 @@ def build_pp_caches(V, factors: Sequence, precision=None):
 
     def get(key: Tuple[int, ...]):
         if key not in memo:
-            T, rem, has_rank = get(key[:-1])
-            T2, rem2 = contract_mode_kr(T, rem, has_rank, factors[key[-1]],
-                                        key[-1], precision=precision)
+            if len(key) == 1:
+                T2, rem2 = first_contraction(V, layouts, factors[key[0]],
+                                             key[0], precision=precision)
+            else:
+                T, rem, has_rank = get(key[:-1])
+                T2, rem2 = contract_mode_kr(T, rem, has_rank,
+                                            factors[key[-1]], key[-1],
+                                            precision=precision)
             memo[key] = (T2, rem2, True)
         return memo[key]
 

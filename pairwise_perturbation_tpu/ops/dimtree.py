@@ -59,11 +59,12 @@ class BinaryTreeSweep:
     common.cxx:29-88); deeper nodes from their parent.
     """
 
-    def __init__(self, V, factors: Sequence, precision=None):
+    def __init__(self, V, factors: Sequence, precision=None, layouts=None):
         self.V = V
         self.factors = list(factors)
         self.order = V.ndim
         self.precision = precision
+        self.layouts = layouts
         self.parent = binary_parent_map(self.order)
         self._memo: Dict[Tuple[int, int], object] = {}
 
@@ -87,8 +88,14 @@ class BinaryTreeSweep:
         to_contract = [m for m in range(plo, phi + 1) if not lo <= m <= hi]
         priority = contract.contraction_priority(self.V.shape)
         for m in contract.order_by_priority(to_contract, priority):
-            T, rem = contract.contract_mode_kr(
-                T, rem, has_rank, self.factors[m], m, precision=self.precision)
+            if not has_rank:
+                T, rem = contract.first_contraction(
+                    self.V, self.layouts, self.factors[m], m,
+                    precision=self.precision)
+            else:
+                T, rem = contract.contract_mode_kr(
+                    T, rem, has_rank, self.factors[m], m,
+                    precision=self.precision)
             has_rank = True
         self._memo[key] = T
         return T

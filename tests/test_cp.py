@@ -134,3 +134,38 @@ def test_pp_order3(rng):
     res = cp.als_cp_pp(V, Ws, cfg)
     assert res.diffV < 1e-3 * Vn
     assert any(h["pp"] == 1 for h in res.history)
+
+
+def test_layouts_do_not_change_results(rng):
+    """Mode-minor layout copies must be numerically transparent."""
+    shape = (5, 6, 7, 8)
+    V, _ = rank_r_tensor(rng, shape, 3)
+    jV = jnp.asarray(V)
+    Ws = [jnp.asarray(rng.random((s, 3))) for s in shape]
+    lam = jnp.asarray(0.0)
+    modes = sorted(set(contract.chain_root_modes_dt(shape))
+                   | set(contract.chain_root_modes_pp(shape)))
+    layouts = contract.prepare_layouts(jV, modes)
+    a, ga = cp.dt_sweep(jV, list(Ws), lam, None, solver="svd")
+    b, gb = cp.dt_sweep(jV, list(Ws), lam, layouts, solver="svd")
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-10)
+    s1, p1 = cp.pp_build_caches(jV, list(Ws))
+    s2, p2 = cp.pp_build_caches(jV, list(Ws), layouts)
+    for i in s1:
+        np.testing.assert_allclose(np.asarray(s1[i]), np.asarray(s2[i]),
+                                   rtol=1e-10)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   rtol=1e-10)
+
+
+def test_pp_device_with_layouts_converges(rng):
+    shape = (6, 6, 6, 6)
+    V, _ = rank_r_tensor(rng, shape, 3)
+    Ws = cp.init_factors(shape, 3, dtype=jnp.float64)
+    Vn = np.linalg.norm(V)
+    cfg = cp.CPConfig(tol=1e-9 * Vn, pp_res_tol=0.1, maxiter=100, resprint=5,
+                      precompute_layouts=True)
+    res = cp.als_cp_pp_device(V, Ws, cfg)
+    assert res.diffV < 1e-3 * Vn
