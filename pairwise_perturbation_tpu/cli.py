@@ -109,7 +109,8 @@ def cmd_test_als(args) -> int:
                           lam=args.lam, ratio_step=args.magni,
                           maxiter=args.maxiter, timelimit=args.timelimit,
                           resprint=args.resprint,
-                          update_percentage=args.update_percentage_pp)
+                          update_percentage=args.update_percentage_pp,
+                          precompute_layouts=bool(args.layouts))
         plot = PlotFile(args.filename, PlotFile.CP_HEADER, echo=not args.quiet)
         if args.pp == 0:
             res = cp.als_cp_dt(Vd, Ws, cfg, plot)

@@ -57,6 +57,9 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
     p.add_argument("-device_loop", type=int, default=0,
                    help="1: run DT/PP phases fully on device "
                         "(lax.while_loop; one host sync per phase)")
+    p.add_argument("-layouts", type=int, default=0,
+                   help="1: keep mode-minor permuted copies of V so "
+                        "first-level contractions avoid XLA transposes")
     p.add_argument("-quiet", action="store_true")
     return p
 
