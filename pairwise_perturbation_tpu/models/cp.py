@@ -28,7 +28,6 @@ reference's O(s^N) ``build_V`` reconstruction; both are excluded from
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Sequence

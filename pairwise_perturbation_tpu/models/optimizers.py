@@ -20,7 +20,6 @@ steps. Factor/state rotation stays in host Python.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 

@@ -32,8 +32,7 @@ contractions therefore lower to MXU matmuls fused by XLA.
 from __future__ import annotations
 
 import string
-from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

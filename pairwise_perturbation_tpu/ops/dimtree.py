@@ -22,7 +22,7 @@ after later factors update).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 from pairwise_perturbation_tpu.ops import contract
 

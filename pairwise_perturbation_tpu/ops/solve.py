@@ -23,7 +23,7 @@ to port (SURVEY.md section 2.6).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ view, so ``p`` has an exact low-rank CP structure. Built on host numpy
 from __future__ import annotations
 
 from functools import reduce
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 
