@@ -22,6 +22,17 @@ import numpy as np
 
 
 def _np_dtype(name: str):
+    """Factor-matrix dtype. ``bfloat16`` selects the *mixed-precision*
+    mode: V is stored bf16 (halved HBM traffic, native bf16 MXU with f32
+    accumulation in every contraction touching V) while factors, Gram
+    matrices and solves stay f32 — see contract._einsum."""
+    import jax.numpy as jnp
+    return {"float32": jnp.float32, "float64": jnp.float64,
+            "bfloat16": jnp.float32}[name]
+
+
+def _v_dtype(name: str):
+    """Dtype V is stored in on device."""
     import jax.numpy as jnp
     return {"float32": jnp.float32, "float64": jnp.float64,
             "bfloat16": jnp.bfloat16}[name]
@@ -89,6 +100,8 @@ def cmd_test_als(args) -> int:
     Vnorm = float(np.linalg.norm(V.ravel()))
     if not args.quiet:
         print(f"Vnorm= {Vnorm}")
+    if args.dtype == "bfloat16":
+        V = jnp.asarray(V, dtype=_v_dtype(args.dtype))
     t0 = time.perf_counter()
 
     if args.model == "CP":
@@ -180,10 +193,11 @@ def cmd_run(args) -> int:
         4: lambda: opt.CPSimpleOptimizer(order, args.rank),
     }[args.pp]
     model = opt.CPD(order, list(V.shape), args.rank, make())
-    model.init(jnp.asarray(V), Ws, lam=args.lam)
+    model.init(jnp.asarray(V, dtype=_v_dtype(args.dtype)), Ws, lam=args.lam)
     plot = PlotFile(args.filename, PlotFile.CP_HEADER, echo=not args.quiet)
     model.als(tol=args.tol * Vnorm, timelimit=args.timelimit,
-              maxsweep=args.maxiter, resprint=args.resprint, plot=plot)
+              maxsweep=args.maxiter, resprint=args.resprint, plot=plot,
+              macro=bool(args.device_loop))
     plot.close()
     if not args.quiet:
         print(f"\nFinal gradnorm {model.gradnorm:E}")
@@ -200,7 +214,7 @@ def cmd_pp_bench(args) -> int:
     from pairwise_perturbation_tpu.utils.metrics import PlotFile
 
     _print_banner(args)
-    V = jnp.asarray(_load_tensor(args))
+    V = jnp.asarray(_load_tensor(args), dtype=_v_dtype(args.dtype))
     Vnorm = float(jnp.linalg.norm(V.ravel()))
     plot = PlotFile(args.filename, PlotFile.BENCH_HEADER, echo=not args.quiet)
 

@@ -28,6 +28,10 @@ class NumericConfig:
     rcond: float = 1e-12
     # Use fused Pallas kernels on TPU where available (order-3 MTTKRP).
     use_pallas: bool = True
+    # Route first-level (chain-root) contractions through the Pallas
+    # mid_contract kernel. Off by default: measured slower than XLA's
+    # einsum on v5e for the coil-100 shapes (see NOTES_ROUND1.md).
+    use_pallas_first: bool = False
 
 
 _cfg = NumericConfig()
@@ -35,6 +39,29 @@ _cfg = NumericConfig()
 
 def get() -> NumericConfig:
     return _cfg
+
+
+def override(**kwargs):
+    """Context manager temporarily overriding config fields.
+
+    NOTE: jitted functions cache on traced Python state only through their
+    arguments; functions that read the config at trace time must be
+    re-jitted (or take the flag as a static argument) to observe changes.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        old = {k: getattr(_cfg, k) for k in kwargs}
+        try:
+            for k, v in kwargs.items():
+                setattr(_cfg, k, v)
+            yield _cfg
+        finally:
+            for k, v in old.items():
+                setattr(_cfg, k, v)
+
+    return _ctx()
 
 
 def set_dtype(dtype) -> None:

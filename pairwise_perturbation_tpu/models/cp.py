@@ -230,7 +230,7 @@ def als_cp_dt(V, Ws, cfg: CPConfig, plot: Optional[PlotFile] = None,
 def _als_generic(V, Ws, cfg: CPConfig, plot, sweep_fn, clock=None) -> CPResult:
     V = jnp.asarray(V)
     Ws = _as_list(Ws)
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
     clock = clock or SweepClock()
     layouts = None
     if cfg.precompute_layouts and sweep_fn is dt_sweep:
@@ -370,7 +370,7 @@ def als_cp_pp(V, Ws, cfg: CPConfig, plot: Optional[PlotFile] = None,
     alsCP_PP_partupdate (als_CP.cxx:1146-1207)."""
     V = jnp.asarray(V)
     Ws = _as_list(Ws)
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
     clock = clock or SweepClock()
     state = dict(iter=0, grads=None, gradnorm=float("inf"),
                  diffV=float("inf"), history=[])
@@ -428,7 +428,7 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
     Returns (n_sweeps, Ws, dWs, gn, quiet_flag, hist[max_sweeps, 2]).
     """
     order = V.ndim
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
 
     def body(carry):
         k, Ws, W_prev, dWs, gn, quiet, hist = carry
@@ -463,7 +463,7 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
     Returns (n_sweeps, Ws, dWs, gn, hist[max_sweeps, 2]).
     """
     order = V.ndim
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
     single, pair = contract.build_pp_caches(V, list(Ws), layouts=layouts)
     W_init = tuple(Ws)
 

@@ -121,6 +121,32 @@ def lr_update_cache(V, cache, U, s, VT, *, left_index: int):
     return cache + upd
 
 
+@partial(jax.jit, static_argnames=("start_left", "solver"))
+def msdt_cycle(V, Ws, lam, *, start_left: int, solver: str = "chol"):
+    """One full MSDT rotation — ``order`` consecutive steps (= order-1
+    sweeps) fused into a single XLA computation.
+
+    Equivalent to ``order`` successive CPMSDTOptimizer.step() calls
+    (cp_msdt_optimizer.cxx:173-208); after a full rotation ``left_index``
+    returns to its starting value, so the cycle is a fixed-structure
+    computation reusable every macro-step. On TPU this removes all
+    intra-cycle host round-trips (the reference pays none because MPI
+    ranks run the loop natively; a host-driven dispatch per step through
+    a TPU relay would dominate the millisecond-scale steps).
+    """
+    order = V.ndim
+    Ws = list(Ws)
+    left = start_left
+    grads = None
+    for _ in range(order):
+        left = (left + order - 1) % order
+        top = chain_top(V, Ws[left], left_index=left)
+        Ws, grads = chain_step(V, top, Ws, lam, left_index=left,
+                               positions=tuple(range(order - 1)),
+                               solver=solver)
+    return Ws, grads
+
+
 @jax.jit
 def _gradnorm(grads):
     return jnp.sqrt(sum(jnp.vdot(g, g) for g in grads))
@@ -215,6 +241,16 @@ class CPMSDTOptimizer(CPOptimizer):
                                         left_index=self.left_index,
                                         positions=positions, solver="chol")
         return (order - 1) / order
+
+    def step_cycle(self) -> float:
+        """Device-resident full rotation: ``order`` steps in one dispatch
+        (left_index is rotation-invariant over a full cycle)."""
+        order = self.order
+        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
+        self.W, self.grads = msdt_cycle(self.V, self.W, lam,
+                                        start_left=self.left_index,
+                                        solver="chol")
+        return float(order - 1)
 
 
 class CPDTOptimizer(CPOptimizer):
@@ -394,9 +430,12 @@ class CPD(Decomposition):
 
     def als(self, tol: float, timelimit: float, maxsweep: int,
             resprint: int, plot: Optional[PlotFile] = None,
-            bench: bool = False):
+            bench: bool = False, macro: bool = False):
+        """ALS driver loop (src/CP.cxx:111-187). With ``macro`` and an
+        optimizer that exposes ``step_cycle`` (MSDT), each dispatch runs a
+        full device-resident rotation instead of one step."""
         V = self.V
-        V_norm_sq = jnp.vdot(V, V)
+        V_norm_sq = contract.norm_sq(V)
         clock = SweepClock()
         iters = 0
         sweeps = 0.0
@@ -423,7 +462,10 @@ class CPD(Decomposition):
                                     diffV=diffV, dtime=dtime))
                 if self.gradnorm < tol or dtime > timelimit:
                     break
-            sweeps += self.optimizer.step()
+            if macro and hasattr(self.optimizer, "step_cycle"):
+                sweeps += self.optimizer.step_cycle()
+            else:
+                sweeps += self.optimizer.step()
             self.W = self.optimizer.W
             iters += 1
         self.history = history

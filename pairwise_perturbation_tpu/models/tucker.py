@@ -237,7 +237,7 @@ def als_tucker(V, ranks, cfg: TuckerConfig,
     """
     V = jnp.asarray(V)
     ranks = tuple(int(r) for r in ranks)
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
     if Ws is None:
         core, Ws = hosvd(V, ranks)
     else:
@@ -344,7 +344,7 @@ def als_tucker_pp(V, ranks, cfg: TuckerConfig,
     (alsTucker_PP, als_Tucker.cxx:906-962)."""
     V = jnp.asarray(V)
     ranks = tuple(int(r) for r in ranks)
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
     if Ws is None:
         core, Ws = hosvd(V, ranks)
     else:
@@ -388,7 +388,7 @@ def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
     """DT Tucker sweeps on device until all modes quiet / diffnorm < tol /
     budget. Returns (n, Ws, dWs, core, diffnorm, quiet, hist[max_sweeps,2])
     with hist rows = [diffnorm, diffV_est]."""
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
 
     def body(carry):
         k, Ws, W_prev, dWs, cn_prev, dn, quiet, core, hist = carry
@@ -425,7 +425,7 @@ def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget,
                            *, ranks: Tuple[int, ...], max_sweeps: int = 64):
     """PP Tucker sweeps on device until the restart tolerance trips /
     diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist)."""
-    V_norm_sq = jnp.vdot(V, V)
+    V_norm_sq = contract.norm_sq(V)
     single, pair = contract.build_ttmc_caches(V, list(Ws))
     W_init = tuple(Ws)
 

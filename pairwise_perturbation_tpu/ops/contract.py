@@ -36,6 +36,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pairwise_perturbation_tpu import config
 
@@ -51,7 +52,29 @@ def _prec(precision):
 
 
 def _einsum(spec, *ops, precision=None):
+    """einsum with mixed-precision handling.
+
+    When any operand is bfloat16 (the mixed-precision mode stores V in
+    bf16; factors stay f32), all operands are cast to bf16 so the MXU runs
+    native single-pass bf16 with f32 accumulation — 2x HBM and 2x MXU over
+    f32, the standard TPU mixed-precision contraction. Type promotion
+    would otherwise upcast the bf16 side and lose both advantages.
+    Intermediates and outputs are f32, so only the first contraction of a
+    chain (the one touching V) runs in bf16.
+    """
+    if any(o.dtype == jnp.bfloat16 for o in ops):
+        ops = [o.astype(jnp.bfloat16) for o in ops]
+        return jnp.einsum(spec, *ops, optimize=True,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
     return jnp.einsum(spec, *ops, optimize=True, precision=_prec(precision))
+
+
+def norm_sq(V):
+    """||V||^2 with f32 (or wider) accumulation regardless of V's dtype."""
+    acc = jnp.float32 if V.dtype == jnp.bfloat16 else V.dtype
+    flat = V.ravel()
+    return jnp.dot(flat, flat, preferred_element_type=acc)
 
 
 # ---------------------------------------------------------------------------
@@ -162,11 +185,29 @@ def prepare_layouts(V, modes: Sequence[int], precision=None):
     return out
 
 
-def first_contraction(V, layouts, factor, mode: int, precision=None):
-    """V x_m W_m (Khatri-Rao first level) using a mode-minor layout of V
-    when available. Output axes: remaining modes ascending + rank (same
-    convention as :func:`contract_mode_kr`)."""
+def first_contraction(V, layouts, factor, mode: int, precision=None,
+                      use_pallas: bool = None, interpret: bool = None):
+    """V x_m W_m (Khatri-Rao first level). Output axes: remaining modes
+    ascending + rank (same convention as :func:`contract_mode_kr`).
+
+    With ``config.use_pallas`` (or the explicit argument), non-minor modes
+    route to the single-HBM-pass Pallas kernel
+    (:func:`...kernels.mttkrp_pallas.mid_contract`); otherwise a mode-minor
+    layout of V is used when available, else a plain einsum.
+    """
     order = V.ndim
+    if use_pallas is None:
+        use_pallas = getattr(config.get(), "use_pallas_first", False)
+    if use_pallas and (interpret or jax.default_backend() != "cpu"):
+        from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
+        rem = tuple(m for m in range(order) if m != mode)
+        # The minor (last) mode is a plain tall GEMM that XLA already runs
+        # near the bandwidth bound; kernels.last_contract measured slower
+        # on v5e, so only non-minor modes route to Pallas.
+        if mode < order - 1 and mttkrp_pallas.mid_contract_eligible(
+                V.shape, mode, V.dtype, factor.shape[1]):
+            return mttkrp_pallas.mid_contract(
+                V, factor, mode, interpret=bool(interpret)), rem
     if layouts and mode in layouts:
         Vp = layouts[mode]
         k = Vp.ndim
@@ -208,7 +249,8 @@ def chain_root_modes_dt(shape) -> Tuple[int, ...]:
     return tuple(sorted(roots))
 
 
-def build_pp_caches(V, factors: Sequence, precision=None, layouts=None):
+def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
+                    use_pallas: bool = None, interpret: bool = None):
     """Build all PP caches: pair tensors T_{ij}[s_i, s_j, R] for i<j and
     single matrices M_i[s_i, R].
 
@@ -219,7 +261,9 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None):
     Chains follow :func:`contraction_priority` (largest modes first) so
     intermediates stay small. Intended to be called inside jit so XLA
     fuses the whole build. ``layouts`` (from :func:`prepare_layouts`)
-    accelerates the first contraction of each chain.
+    accelerates the first contraction of each chain; with
+    ``config.use_pallas`` chain roots route to the single-HBM-pass
+    Pallas kernel instead (see :func:`first_contraction`).
     """
     order = V.ndim
     priority = contraction_priority(V.shape)
@@ -229,7 +273,9 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None):
         if key not in memo:
             if len(key) == 1:
                 T2, rem2 = first_contraction(V, layouts, factors[key[0]],
-                                             key[0], precision=precision)
+                                             key[0], precision=precision,
+                                             use_pallas=use_pallas,
+                                             interpret=interpret)
             else:
                 T, rem, has_rank = get(key[:-1])
                 T2, rem2 = contract_mode_kr(T, rem, has_rank,

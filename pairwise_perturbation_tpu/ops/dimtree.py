@@ -179,9 +179,8 @@ class ChainTreeSweep:
         """First-level contraction: V contracted with W[left_index]."""
         if self._top in self._memo:
             return self._memo[self._top]
-        rem = tuple(range(self.order))
-        T, rem2 = contract.contract_mode_kr(
-            self.V, rem, False, self.factors[self.left_index],
+        T, rem2 = contract.first_contraction(
+            self.V, None, self.factors[self.left_index],
             self.left_index, precision=self.precision)
         # reorder axes to position order (indexes order) + rank.
         axes_current = list(rem2)  # ascending mode ids

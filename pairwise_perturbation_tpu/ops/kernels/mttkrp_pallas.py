@@ -98,9 +98,208 @@ def mttkrp3(V, B, C, tile_i: int = 256, tile_j: int = 8,
 
 def mttkrp3_mode(V, factors, mode: int, tile_i: int = 256,
                  interpret: bool = False):
-    """Fused order-3 MTTKRP for any mode (transposes V so ``mode`` leads)."""
+    """Fused order-3 MTTKRP for any mode in one HBM pass over V.
+
+    Mode 0 uses the fused accumulating kernel directly (V is already
+    mode-0 leading). Modes 1 and 2 chain the single-pass first-level
+    kernel (:func:`mid_contract` over mode 0) with a small tail einsum on
+    the (J, K, R) intermediate — V itself is still read exactly once,
+    versus a full transposed copy of V in the naive route.
+    """
+    if mode == 0:
+        return mttkrp3(V, factors[1], factors[2], tile_i=tile_i,
+                       interpret=interpret)
+    R = factors[0].shape[1]
+    if mid_contract_eligible(V.shape, 0, V.dtype, R):
+        T = mid_contract(V, factors[0], 0, interpret=interpret)  # (J, K, R)
+        if mode == 1:
+            return jnp.einsum("jkZ,kZ->jZ", T, factors[2])
+        return jnp.einsum("jkZ,jZ->kZ", T, factors[1])
     perm = (mode,) + tuple(m for m in range(3) if m != mode)
     Vt = jnp.transpose(V, perm)
     others = [factors[m] for m in range(3) if m != mode]
     return mttkrp3(Vt, others[0], others[1], tile_i=tile_i,
                    interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# First-level (non-minor mode) contraction kernel
+# ---------------------------------------------------------------------------
+#
+# Every dimension-tree / PP-cache chain starts with a first-level
+# contraction V x_m W_m (the chain roots of Build_mttkrp_map,
+# als_CP.cxx:352-409, and mttkrp_map_init, cp_msdt_optimizer.cxx:111-144):
+#
+#     C[pre..., post..., r] = sum_b V[pre..., b, post...] W[b, r]
+#
+# Row-major V reshapes for free to (P, B, M) around mode m (P = flattened
+# leading modes, M = flattened trailing modes), so one kernel serves every
+# tensor order and every non-minor mode. Each block holds *complete*
+# contraction fibers — (1, B, L) with L a lane tile of M — so the GEMM has
+# the full-size K = B and the kernel is a single HBM pass over V. XLA's
+# einsum for the same contraction runs ~1.5x off the bandwidth bound
+# because the non-minor contraction dimension forces a strided access
+# pattern; here the lhs-transposed dot streams V blocks as-is.
+#
+# The last mode (m = order-1) is already a plain (P*B-by-B) @ (B, R)
+# minor-dim GEMM that XLA executes at speed of light — no kernel needed.
+
+
+def _mid_kernel(wt_ref, v_ref, o_ref):
+    # wt (R, B) @ v (B, L) -> (R, L): both operands are in the MXU's
+    # native (M, K) x (K, N) orientation — the V block streams from HBM
+    # straight into the MXU with no VMEM relayout.
+    g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = g.astype(o_ref.dtype)               # (R, L)
+
+
+def _mid_tile(B: int, M: int) -> int:
+    """Lane tile of the merged trailing dim, or 0 if no good tiling exists.
+
+    Measured on v5e: ragged (out-of-bounds padded) lane tiles cost ~20 us
+    each in Mosaic — enough to erase the kernel's advantage — so the tile
+    must divide M exactly. A full-M block (no grid tiling of M) is best
+    when it fits VMEM; otherwise ~1 MiB blocks hit the HBM bandwidth bound
+    (L=2048 at B=128 measured at ~880 GB/s, XLA's einsum ~2x slower).
+    """
+    if M < (1 << 15):
+        # small merged trailing dims (and full-M single blocks) measured
+        # SLOWER than XLA's einsum on v5e — only the long-M tiled form
+        # reaches the bandwidth bound.
+        return 0
+    for L in (2048, 1024, 512, 256, 128):
+        if B * L * 4 <= (2 << 20) and M % L == 0:
+            return L
+    return 0
+
+
+def mid_contract_eligible(shape, mode: int, dtype, r: int) -> bool:
+    """Whether :func:`mid_contract` applies to mode ``mode`` of ``shape``."""
+    if dtype not in (jnp.float32, jnp.bfloat16) \
+            or not (0 <= mode < len(shape) - 1):
+        return False
+    if r > 256:
+        return False
+    B = shape[mode]
+    M = 1
+    for s in shape[mode + 1:]:
+        M *= s
+    if B < 8 or B > 4096 or B % 8 != 0:
+        return False
+    return M >= 128 and _mid_tile(B, M) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def mid_contract(V, W, mode: int, interpret: bool = False):
+    """First-level contraction V x_mode W in one HBM pass.
+
+    Returns a tensor with axes (all modes except ``mode``, ascending) + rank
+    — the :func:`...ops.contract.contract_mode_kr` convention. A ragged
+    last lane tile reads unspecified padding, which only lands in output
+    rows beyond M and is sliced off (the trailing index is never
+    contracted).
+    """
+    shape = V.shape
+    order = V.ndim
+    R = W.shape[1]
+    P = 1
+    for s in shape[:mode]:
+        P *= s
+    B = shape[mode]
+    M = 1
+    for s in shape[mode + 1:]:
+        M *= s
+    V3 = V.reshape(P, B, M)
+    L = _mid_tile(B, M) or M  # direct/interpret calls on ineligible shapes
+    nl = pl.cdiv(M, L)
+    Mp = nl * L
+    # bf16-stored V: native single-pass bf16 MXU, f32 accumulate + output
+    # (the mixed-precision mode; see contract._einsum).
+    wt = W.T.astype(V.dtype)
+    out_dtype = jnp.float32 if V.dtype == jnp.bfloat16 else V.dtype
+
+    def vmem(spec_shape, index_map):
+        if _VMEM is not None and not interpret:
+            return pl.BlockSpec(spec_shape, index_map, memory_space=_VMEM)
+        return pl.BlockSpec(spec_shape, index_map)
+
+    out = pl.pallas_call(
+        _mid_kernel,
+        grid=(P, nl),
+        in_specs=[
+            vmem((R, B), lambda p, l: (0, 0)),
+            vmem((1, B, L), lambda p, l: (p, 0, l)),
+        ],
+        out_specs=vmem((1, R, L), lambda p, l: (p, 0, l)),
+        out_shape=jax.ShapeDtypeStruct((P, R, Mp), out_dtype),
+        interpret=interpret,
+    )(wt, V3)
+    if Mp != M:
+        out = out[:, :, :M]
+    # physical layout is rank-major; expose the rank-last convention via a
+    # lazy transpose — XLA folds it into the consuming einsum/dot.
+    out = out.reshape(shape[:mode] + (R,) + shape[mode + 1:])
+    return jnp.moveaxis(out, mode, -1)
+
+
+# ---------------------------------------------------------------------------
+# Minor (last) mode contraction: plain tiled GEMM
+# ---------------------------------------------------------------------------
+
+
+def _last_kernel(v_ref, w_ref, o_ref):
+    o_ref[:] = jnp.dot(v_ref[:], w_ref[:],
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _last_tile(N: int, B: int) -> int:
+    for Tr in (512, 256, 128, 64, 32, 16, 8):
+        if Tr * B * 4 <= (4 << 20) and N % Tr == 0:
+            return Tr
+    return 0
+
+
+def last_contract_eligible(shape, dtype, r: int) -> bool:
+    if dtype not in (jnp.float32,) or r > 256:
+        return False
+    B = shape[-1]
+    N = 1
+    for s in shape[:-1]:
+        N *= s
+    if B < 128 or B > 65536 or N < 8:
+        return False
+    return _last_tile(N, B) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def last_contract(V, W, interpret: bool = False):
+    """V x_{order-1} W: the minor-mode first-level contraction as a tiled
+    (rows, B) @ (B, R) GEMM with full-K blocks. Output axes: leading modes
+    + rank (already the rank-last convention)."""
+    shape = V.shape
+    B = shape[-1]
+    R = W.shape[1]
+    N = 1
+    for s in shape[:-1]:
+        N *= s
+    V2 = V.reshape(N, B)
+    Tr = _last_tile(N, B)
+
+    def vmem(spec_shape, index_map):
+        if _VMEM is not None and not interpret:
+            return pl.BlockSpec(spec_shape, index_map, memory_space=_VMEM)
+        return pl.BlockSpec(spec_shape, index_map)
+
+    out = pl.pallas_call(
+        _last_kernel,
+        grid=(N // Tr,),
+        in_specs=[
+            vmem((Tr, B), lambda i: (i, 0)),
+            vmem((B, R), lambda i: (0, 0)),
+        ],
+        out_specs=vmem((Tr, R), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, R), V.dtype),
+        interpret=interpret,
+    )(V2, W)
+    return out.reshape(shape[:-1] + (R,))

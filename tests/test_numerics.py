@@ -54,3 +54,38 @@ def test_collinearity_pp_converges_f32(rng):
     assert res.diffV < 0.3 * Vn
     gns = [h["gradnorm"] for h in res.history if np.isfinite(h["gradnorm"])]
     assert gns[-1] < gns[0]
+
+
+def test_mixed_bf16_mttkrp_accuracy(rng):
+    """bf16-stored V with f32 accumulation: MTTKRP within bf16 tolerance
+    of the f64 oracle (mixed-precision mode, contract._einsum)."""
+    from pairwise_perturbation_tpu.ops import contract
+
+    shape, R = (6, 7, 8), 4
+    V = rng.standard_normal(shape)
+    Ws = [jnp.asarray(rng.standard_normal((s, R))) for s in shape]
+    want = np.asarray(contract.mttkrp(jnp.asarray(V), Ws, 0))
+    got = contract.mttkrp(jnp.asarray(V, dtype=jnp.bfloat16),
+                          [w.astype(jnp.float32) for w in Ws], 0)
+    assert got.dtype == jnp.float32
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(got) - want).max() < 3e-2 * scale
+
+
+def test_mixed_bf16_dt_converges_like_f32(rng):
+    """DT-ALS with bf16-stored V reaches a fitness plateau close to the
+    f32 run on the collinearity fixture (the numerically nasty case)."""
+    V = synth.make_tensor("c", dim=3, s=16, R=4, seed=2, dtype=np.float64)
+    Vn = float(np.linalg.norm(V))
+    W0 = cp.init_factors(V.shape, 4, dtype=jnp.float32)
+    cfg = cp.CPConfig(tol=0.0, maxiter=40, resprint=40)
+    res32 = cp.als_cp_dt(jnp.asarray(V, dtype=jnp.float32),
+                         [jnp.asarray(w) for w in W0], cfg)
+    res16 = cp.als_cp_dt(jnp.asarray(V, dtype=jnp.bfloat16),
+                         [jnp.asarray(w) for w in W0], cfg)
+    f32_fit = res32.diffV / Vn
+    f16_fit = res16.diffV / Vn
+    # both should have made real progress; bf16 plateau within a small
+    # absolute offset of the f32 one (relative residual units)
+    assert f16_fit < 0.5
+    assert f16_fit - f32_fit < 0.05

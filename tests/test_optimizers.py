@@ -78,3 +78,28 @@ def test_dt_optimizer_updates_all_modes(rng):
     o.step()  # second subtree: mode order-1
     for i, (a, b) in enumerate(zip(o.W, W0)):
         assert not np.allclose(np.asarray(a), np.asarray(b)), f"mode {i} unchanged"
+
+
+def test_msdt_cycle_matches_steps(rng):
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import optimizers as opt
+
+    shape, R = (6, 7, 8, 9), 4
+    V = jnp.asarray(rng.standard_normal(shape))
+    Ws0 = [jnp.asarray(rng.standard_normal((s, R))) for s in shape]
+
+    a = opt.CPMSDTOptimizer(len(shape), R)
+    a.configure(V, [w for w in Ws0], lam=0.0)
+    for _ in range(len(shape)):
+        a.step()
+
+    b = opt.CPMSDTOptimizer(len(shape), R)
+    b.configure(V, [w for w in Ws0], lam=0.0)
+    sweeps = b.step_cycle()
+    assert sweeps == len(shape) - 1
+    for wa, wb in zip(a.W, b.W):
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                   rtol=1e-10, atol=1e-12)
+    for ga, gb in zip(a.grads, b.grads):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-8, atol=1e-10)

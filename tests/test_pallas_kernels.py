@@ -31,3 +31,66 @@ def test_mttkrp3_mode_transposed(rng):
         want = contract.mttkrp(jV, jWs, mode)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,mode", [
+    ((3, 16, 24, 50), 1),     # order-4 middle mode (coil-100 structure)
+    ((3, 16, 24, 50), 2),
+    ((3, 16, 24, 50), 0),
+    ((16, 24, 50), 0),        # order-3 leading mode
+    ((16, 24, 50), 1),
+    ((8, 8, 8, 8, 8, 8), 2),  # order-6 (synthetic fixtures)
+])
+def test_mid_contract_matches_einsum(rng, shape, mode):
+    R = 5
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((shape[mode], R)).astype(np.float32))
+    got = mttkrp_pallas.mid_contract(V, W, mode, interpret=True)
+    want, rem = contract.contract_mode_kr(
+        V, tuple(range(len(shape))), False, W, mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_mid_contract_ragged_lane_tile(rng):
+    # M = 150 is not a multiple of the 128-lane tile: exercises the
+    # out-of-bounds padded last block + slice-off path.
+    shape, mode, R = (16, 10, 15), 0, 3
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((shape[mode], R)).astype(np.float32))
+    got = mttkrp_pallas.mid_contract(V, W, mode, interpret=True)
+    want = jnp.einsum("abc,aZ->bcZ", V, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_first_contraction_pallas_route(rng):
+    # M = 16*2048 = 32768 exercises the eligible (long merged trailing
+    # dim) kernel route rather than the XLA fallback.
+    shape, R = (2, 16, 16, 2048), 5
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((shape[1], R)).astype(np.float32))
+    from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
+    assert mttkrp_pallas.mid_contract_eligible(shape, 1, V.dtype, R)
+    got, rem = contract.first_contraction(V, None, W, 1, use_pallas=True,
+                                          interpret=True)
+    want, rem2 = contract.first_contraction(V, None, W, 1, use_pallas=False)
+    assert rem == rem2 == (0, 2, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_build_pp_caches_pallas_route(rng):
+    shape, R = (6, 16, 24, 130), 4
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    Ws = [jnp.asarray(rng.standard_normal((s, R)).astype(np.float32))
+          for s in shape]
+    s_p, p_p = contract.build_pp_caches(V, Ws, use_pallas=True,
+                                        interpret=True)
+    s_x, p_x = contract.build_pp_caches(V, Ws, use_pallas=False)
+    for i in s_x:
+        np.testing.assert_allclose(np.asarray(s_p[i]), np.asarray(s_x[i]),
+                                   rtol=2e-4, atol=1e-3)
+    for ij in p_x:
+        np.testing.assert_allclose(np.asarray(p_p[ij]), np.asarray(p_x[ij]),
+                                   rtol=2e-4, atol=1e-3)
