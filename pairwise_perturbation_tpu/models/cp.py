@@ -444,10 +444,10 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
         k, _, _, _, gn, quiet, _ = carry
         return (k < it_budget) & jnp.logical_not(quiet) & (gn >= gn_tol)
 
-    hist0 = jnp.zeros((max_sweeps, 2), V.dtype)
+    hist0 = jnp.zeros((max_sweeps, 2), Ws[0].dtype)
     zero_dWs = tuple(jnp.zeros_like(W) for W in Ws)
     init = (jnp.asarray(0), tuple(Ws), zero_dWs, zero_dWs,
-            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), hist0)
+            jnp.asarray(jnp.inf, Ws[0].dtype), jnp.asarray(False), hist0)
     k, Ws_f, _, dWs_f, gn, quiet, hist = jax.lax.while_loop(cond, body, init)
     return k, list(Ws_f), list(dWs_f), gn, quiet, hist
 
@@ -481,10 +481,10 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
         k, _, _, gn, broke, _ = carry
         return (k < it_budget) & jnp.logical_not(broke) & (gn >= gn_tol)
 
-    hist0 = jnp.zeros((max_sweeps, 2), V.dtype)
+    hist0 = jnp.zeros((max_sweeps, 2), Ws[0].dtype)
     zero_dWs = tuple(jnp.zeros_like(W) for W in Ws)
     init = (jnp.asarray(0), tuple(Ws), zero_dWs,
-            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), hist0)
+            jnp.asarray(jnp.inf, Ws[0].dtype), jnp.asarray(False), hist0)
     k, Ws_f, dWs_f, gn, broke, hist = jax.lax.while_loop(cond, body, init)
     return k, list(Ws_f), list(dWs_f), gn, hist
 

@@ -98,23 +98,11 @@ def mttkrp3(V, B, C, tile_i: int = 256, tile_j: int = 8,
 
 def mttkrp3_mode(V, factors, mode: int, tile_i: int = 256,
                  interpret: bool = False):
-    """Fused order-3 MTTKRP for any mode in one HBM pass over V.
-
-    Mode 0 uses the fused accumulating kernel directly (V is already
-    mode-0 leading). Modes 1 and 2 chain the single-pass first-level
-    kernel (:func:`mid_contract` over mode 0) with a small tail einsum on
-    the (J, K, R) intermediate — V itself is still read exactly once,
-    versus a full transposed copy of V in the naive route.
-    """
+    """Fused order-3 MTTKRP for any mode (transposes V so ``mode`` leads;
+    the fused kernel then reads the transposed copy exactly once)."""
     if mode == 0:
         return mttkrp3(V, factors[1], factors[2], tile_i=tile_i,
                        interpret=interpret)
-    R = factors[0].shape[1]
-    if mid_contract_eligible(V.shape, 0, V.dtype, R):
-        T = mid_contract(V, factors[0], 0, interpret=interpret)  # (J, K, R)
-        if mode == 1:
-            return jnp.einsum("jkZ,kZ->jZ", T, factors[2])
-        return jnp.einsum("jkZ,jZ->kZ", T, factors[1])
     perm = (mode,) + tuple(m for m in range(3) if m != mode)
     Vt = jnp.transpose(V, perm)
     others = [factors[m] for m in range(3) if m != mode]
@@ -136,10 +124,19 @@ def mttkrp3_mode(V, factors, mode: int, tile_i: int = 256,
 # leading modes, M = flattened trailing modes), so one kernel serves every
 # tensor order and every non-minor mode. Each block holds *complete*
 # contraction fibers — (1, B, L) with L a lane tile of M — so the GEMM has
-# the full-size K = B and the kernel is a single HBM pass over V. XLA's
-# einsum for the same contraction runs ~1.5x off the bandwidth bound
-# because the non-minor contraction dimension forces a strided access
-# pattern; here the lhs-transposed dot streams V blocks as-is.
+# the full-size K = B and the kernel is a single HBM pass over V.
+#
+# MEASURED VERDICT (v5e, coil-100 shape; see NOTES_ROUND1.md): the raw
+# kernel hits the HBM bandwidth bound (1.35 ms vs 2.6 ms XLA f32), but its
+# natural output layout is rank-major (R, L) and every way of exposing the
+# rank-last convention loses more than the kernel gains: a post-hoc XLA
+# transpose costs ~12 ms (cannot fuse across the pallas_call custom-call
+# boundary), and an in-kernel (R, L) -> (L, R) relayout costs ~10 us/step
+# (~13 ms total). XLA's einsum handles the same layout problem inside its
+# GEMM at ~0.85 of the bandwidth bound, and bf16-stored V doubles that
+# again — so production routing (config.use_pallas_first) stays OFF and
+# the mixed-precision XLA path is the production fast path. Kept for
+# rank-major consumers and future Mosaic layout improvements.
 #
 # The last mode (m = order-1) is already a plain (P*B-by-B) @ (B, R)
 # minor-dim GEMM that XLA executes at speed of light — no kernel needed.
@@ -152,6 +149,17 @@ def _mid_kernel(wt_ref, v_ref, o_ref):
     g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0] = g.astype(o_ref.dtype)               # (R, L)
+
+
+def _mid_kernel_t(wt_ref, v_ref, o_ref):
+    # Same GEMM, but the small (R, L) result is transposed in-VMEM per
+    # step so the HBM output is rank-minor directly. XLA cannot fold a
+    # transpose of a pallas_call output into a consumer (custom-call
+    # layout barrier), so a 110 MB post-hoc transpose costs ~12 ms; this
+    # per-step ~128 KB relayout replaces it.
+    g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = g.T.astype(o_ref.dtype)             # (L, R)
 
 
 def _mid_tile(B: int, M: int) -> int:
@@ -190,8 +198,10 @@ def mid_contract_eligible(shape, mode: int, dtype, r: int) -> bool:
     return M >= 128 and _mid_tile(B, M) > 0
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
-def mid_contract(V, W, mode: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("mode", "interpret",
+                                             "rank_minor"))
+def mid_contract(V, W, mode: int, interpret: bool = False,
+                 rank_minor: bool = True):
     """First-level contraction V x_mode W in one HBM pass.
 
     Returns a tensor with axes (all modes except ``mode``, ascending) + rank
@@ -224,6 +234,21 @@ def mid_contract(V, W, mode: int, interpret: bool = False):
             return pl.BlockSpec(spec_shape, index_map, memory_space=_VMEM)
         return pl.BlockSpec(spec_shape, index_map)
 
+    if rank_minor:
+        out = pl.pallas_call(
+            _mid_kernel_t,
+            grid=(P, nl),
+            in_specs=[
+                vmem((R, B), lambda p, l: (0, 0)),
+                vmem((1, B, L), lambda p, l: (p, 0, l)),
+            ],
+            out_specs=vmem((1, L, R), lambda p, l: (p, l, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, Mp, R), out_dtype),
+            interpret=interpret,
+        )(wt, V3)
+        if Mp != M:
+            out = out[:, :M, :]
+        return out.reshape(shape[:mode] + shape[mode + 1:] + (R,))
     out = pl.pallas_call(
         _mid_kernel,
         grid=(P, nl),

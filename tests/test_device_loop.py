@@ -98,3 +98,25 @@ def test_tucker_device_pp_converges(rng):
                                                      pp_res_tol=0.3,
                                                      maxiter=40, resprint=1))
     assert res.diffV < max(1.5 * res_h.diffV, 1e-5 * Vn)
+
+
+def test_device_phases_mixed_bf16(rng):
+    """Device-resident DT phase runs with bf16-stored V (mixed precision):
+    stats/carries stay in the f32 factor dtype and sweeps converge."""
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import cp
+    from pairwise_perturbation_tpu.utils import synth
+
+    V = synth.make_tensor("r", dim=3, s=12, R=3, seed=5, dtype=np.float64)
+    V16 = jnp.asarray(V, dtype=jnp.bfloat16)
+    Ws = cp.init_factors(V.shape, 3, dtype=jnp.float32)
+    lam = jnp.asarray(0.0, dtype=jnp.float32)
+    k, Ws2, dWs, gn, quiet, hist = cp.dt_phase_device(
+        V16, Ws, lam, jnp.asarray(1e-5, jnp.float32),
+        jnp.asarray(0.0, jnp.float32), jnp.asarray(20), None,
+        solver="svd", max_sweeps=21)
+    assert int(k) > 0
+    h = np.asarray(hist[:int(k)])
+    assert h.dtype == np.float32
+    # gradnorm decreased over the phase
+    assert h[-1, 0] < h[0, 0]
