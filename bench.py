@@ -78,15 +78,19 @@ def main() -> int:
             (time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
         sweeps_per_sec = 1.0 / dt_sweep_time
 
-        # PP: cache build time and steady-state sweep time
-        t0 = time.perf_counter()
+        # PP: cache build time and steady-state sweep time. Chain several
+        # builds back-to-back (data-dependent via a factor perturbation)
+        # so the one-time host-pull latency amortizes out.
         single, pair = cp.pp_build_caches(V, list(Ws))
         _pull(single[0])
-        pp_build_first = time.perf_counter() - t0  # includes compile
+        nb = 10
         t0 = time.perf_counter()
-        single, pair = cp.pp_build_caches(V, list(Ws))
+        for _ in range(nb):
+            single, pair = cp.pp_build_caches(V, list(Ws))
+            Ws = [w + 0.0 * single[0][0, 0] for w in Ws]
         _pull(single[0])
-        pp_build_time = max(time.perf_counter() - t0 - pull_overhead, 1e-9)
+        pp_build_time = max(
+            (time.perf_counter() - t0 - pull_overhead) / nb, 1e-9)
 
         W_init = [w for w in Ws]
         dWs = [jnp.zeros_like(w) for w in Ws]
@@ -153,9 +157,12 @@ def main() -> int:
         single16, pair16 = cp.pp_build_caches(V16, list(Ws))
         _pull(single16[0])
         t0 = time.perf_counter()
-        single16, pair16 = cp.pp_build_caches(V16, list(Ws))
+        for _ in range(nb):
+            single16, pair16 = cp.pp_build_caches(V16, list(Ws))
+            Ws = [w + 0.0 * single16[0][0, 0] for w in Ws]
         _pull(single16[0])
-        pp_build_bf16 = max(time.perf_counter() - t0 - pull_overhead, 1e-9)
+        pp_build_bf16 = max(
+            (time.perf_counter() - t0 - pull_overhead) / nb, 1e-9)
 
         nnz = 1
         for s in shape:

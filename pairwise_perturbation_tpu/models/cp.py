@@ -155,6 +155,75 @@ def _chol_solve_mod(M, W_init, S, ratio_step):
     return W_init + dW, dW
 
 
+@partial(jax.jit, static_argnames=("update_size", "solver"))
+def pp_partupdate_sweep(single, pair, Ws, W_init, dWs, dMs, Ms, ms_set,
+                        rel_perturbe, grads, lam, ratio_step,
+                        *, update_size: int, solver: str = "svd"):
+    """One PP partial-update sweep, fully on device
+    (alsCP_PP_partupdate_sub, als_CP.cxx:852-1073).
+
+    Updates only the ``update_size`` modes with the largest relative
+    perturbation ||dM_i||/||M_i|| (als_CP.cxx:992-1001), propagating each
+    solve's dW into the other modes' dM accumulators immediately
+    (als_CP.cxx:1037-1053). The data-dependent mode choice is a
+    ``lax.switch`` per update slot — the reference's host-side argsort +
+    per-mode dispatch would cost one host round-trip per mode on TPU.
+
+    State: dMs (accumulated corrections), Ms (last M per mode), ms_set
+    (which modes have ever been updated), rel_perturbe. Returns all
+    updated state plus per-mode grads.
+    """
+    order = len(Ws)
+    Ws, dWs, dMs, Ms = list(Ws), list(dWs), list(dMs), list(Ms)
+    grads = list(grads)
+    sorted_idx = jnp.argsort(-rel_perturbe, stable=True)
+
+    def make_branch(b):
+        def branch(state):
+            Ws, dWs, dMs, Ms, ms_set, grads = state
+            M = single[b] + dMs[b]
+            S = contract.hadamard_gram(Ws, skip_mode=b, regul=lam)
+            g = contract.gradsubprob(M, S, Ws[b])
+            if solver == "svd":
+                Wb, dWb = solve.svd_solve_mod(M, W_init[b], S, ratio_step)
+            else:
+                Wb, dWb = _chol_solve_mod(M, W_init[b], S, ratio_step)
+            Ws2 = tuple(Wb if i == b else w for i, w in enumerate(Ws))
+            dWs2 = tuple(dWb if i == b else d for i, d in enumerate(dWs))
+            Ms2 = tuple(M if i == b else m for i, m in enumerate(Ms))
+            grads2 = tuple(g if i == b else gr
+                           for i, gr in enumerate(grads))
+            dMs2 = []
+            for ii in range(order):
+                if ii == b:
+                    dMs2.append(jnp.zeros_like(dMs[b]))
+                elif ii < b:
+                    dMs2.append(dMs[ii] + contract._einsum(
+                        "abZ,bZ->aZ", pair[(ii, b)], dWb))
+                else:
+                    dMs2.append(dMs[ii] + contract._einsum(
+                        "abZ,aZ->bZ", pair[(b, ii)], dWb))
+            ms_set2 = ms_set.at[b].set(True)
+            return (Ws2, dWs2, tuple(dMs2), Ms2, ms_set2, grads2)
+        return branch
+
+    state = (tuple(Ws), tuple(dWs), tuple(dMs), tuple(Ms), ms_set,
+             tuple(grads))
+    branches = [make_branch(b) for b in range(order)]
+    for slot in range(update_size):
+        state = jax.lax.switch(sorted_idx[slot], branches, state)
+    Ws, dWs, dMs, Ms, ms_set, grads = state
+    rel = jnp.stack([
+        jnp.where(ms_set[i],
+                  jnp.linalg.norm(dMs[i].ravel())
+                  / jnp.maximum(jnp.linalg.norm(Ms[i].ravel()), 1e-30),
+                  0.0).astype(rel_perturbe.dtype)
+        for i in range(order)])
+    Ws = contract.normalize_factors(list(Ws))
+    return (list(Ws), list(dWs), list(dMs), list(Ms), ms_set, rel,
+            list(grads))
+
+
 @jax.jit
 def factor_norm_ratios(Ws, dWs):
     """||dW_i|| / ||W_i|| for all modes (restart checks,
@@ -297,7 +366,7 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
     # partial-update state (als_CP.cxx:886-898)
     dMs = None
     Ms = [None] * order
-    rel_perturbe = np.zeros(order)
+    rel_perturbe = None  # device vector, created lazily
     update_size = max(int(order * cfg.update_percentage), 1) \
         if partial_update else order
 
@@ -329,36 +398,21 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                                       cfg.ratio_step, solver=cfg.solver)
             state["grads"] = grads
         else:
-            # sorted by descending relative perturbation (als_CP.cxx:992-1001)
-            sorted_idx = list(np.argsort(-rel_perturbe, kind="stable"))
+            # one device dispatch per sweep: ranking, top-k solves and dM
+            # propagation all happen on device (als_CP.cxx:992-1053)
+            if Ms[0] is None:
+                Ms = [jnp.zeros_like(W) for W in Ws]
+                ms_set = jnp.zeros(order, dtype=bool)
+                rel_perturbe = jnp.zeros(
+                    order, dtype=jnp.float32 if Ws[0].dtype == jnp.bfloat16
+                    else Ws[0].dtype)
             grads = state["grads"] or [jnp.zeros_like(W) for W in Ws]
-            for i in [int(x) for x in sorted_idx[:update_size]]:
-                M = single[i] + dMs[i]
-                S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
-                grads[i] = contract.gradsubprob(M, S, Ws[i])
-                Ms[i] = M
-                Ws[i], dWs[i] = solve.svd_solve_mod(M, W_init[i], S,
-                                                    cfg.ratio_step)
-                # propagate the change to other modes (als_CP.cxx:1037-1053)
-                dMs[i] = jnp.zeros_like(dMs[i])
-                for ii in range(order):
-                    if ii == i:
-                        continue
-                    a, b = min(i, ii), max(i, ii)
-                    cache = pair[(a, b)]
-                    if ii < i:
-                        dMs[ii] = dMs[ii] + jnp.einsum(
-                            "abZ,bZ->aZ", cache, dWs[i], optimize=True)
-                    else:
-                        dMs[ii] = dMs[ii] + jnp.einsum(
-                            "abZ,aZ->bZ", cache, dWs[i], optimize=True)
+            (Ws, dWs, dMs, Ms, ms_set, rel_perturbe,
+             grads) = pp_partupdate_sweep(
+                single, pair, Ws, W_init, dWs, dMs, Ms, ms_set,
+                rel_perturbe, grads, lam, cfg.ratio_step,
+                update_size=update_size, solver="svd")
             state["grads"] = grads
-            for i in range(order):
-                if Ms[i] is not None:
-                    rel_perturbe[i] = float(
-                        jnp.linalg.norm(dMs[i].ravel()) /
-                        jnp.linalg.norm(Ms[i].ravel()))
-            Ws = contract.normalize_factors(Ws)
         state["iter"] = it + 1
     return Ws, dWs, "maxiter"
 

@@ -52,8 +52,18 @@ def _kernel(v_ref, b_ref, c_ref, out_ref):
     out_ref[:] += jnp.sum(g, axis=1).astype(out_ref.dtype)
 
 
+def _mttkrp3_tiles(I: int, J: int, K: int):
+    """Auto tile selection, from a v5e sweep (scripts/bench_mttkrp3.py):
+    ~2 MiB V blocks with the widest J tile that divides J (wider tile_j =
+    larger GEMM M per step). Best measured: 512^3 -> (32, 32) at 0.33 ms
+    (2.6x XLA); 200^3 -> (200, 8) at 0.08 ms (11x XLA)."""
+    tile_j = 32 if J % 32 == 0 else (16 if J % 16 == 0 else 8)
+    tile_i = max(8, min(I, (2 << 20) // (tile_j * K * 4) // 8 * 8))
+    return tile_i, tile_j
+
+
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
-def mttkrp3(V, B, C, tile_i: int = 256, tile_j: int = 8,
+def mttkrp3(V, B, C, tile_i: int = None, tile_j: int = None,
             interpret: bool = False):
     """Fused MTTKRP for the first mode of an order-3 tensor.
 
@@ -63,8 +73,9 @@ def mttkrp3(V, B, C, tile_i: int = 256, tile_j: int = 8,
     """
     I, J, K = V.shape
     R = B.shape[1]
-    tile_i = min(tile_i, I)
-    tile_j = min(tile_j, J)
+    auto_i, auto_j = _mttkrp3_tiles(I, J, K)
+    tile_i = min(tile_i or auto_i, I)
+    tile_j = min(tile_j or auto_j, J)
     # zero-pad J to a tile multiple: input-block padding contents are
     # unspecified in Pallas, and zero rows contribute nothing to the sum.
     if J % tile_j != 0:
@@ -96,7 +107,7 @@ def mttkrp3(V, B, C, tile_i: int = 256, tile_j: int = 8,
     )(V, B, C)
 
 
-def mttkrp3_mode(V, factors, mode: int, tile_i: int = 256,
+def mttkrp3_mode(V, factors, mode: int, tile_i: int = None,
                  interpret: bool = False):
     """Fused order-3 MTTKRP for any mode (transposes V so ``mode`` leads;
     the fused kernel then reads the transposed copy exactly once)."""

@@ -169,3 +169,66 @@ def test_pp_device_with_layouts_converges(rng):
                       precompute_layouts=True)
     res = cp.als_cp_pp_device(V, Ws, cfg)
     assert res.diffV < 1e-3 * Vn
+
+
+def test_pp_partupdate_sweep_device_matches_host_loop(rng):
+    """The device-resident partupdate sweep (lax.switch ranking + top-k
+    solves) reproduces the reference host loop (als_CP.cxx:992-1053)."""
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.ops import contract, solve
+
+    shape, R, k = (8, 9, 10, 11), 3, 2
+    V = jnp.asarray(rng.standard_normal(shape))
+    Ws = [jnp.asarray(rng.standard_normal((s, R))) for s in shape]
+    order = len(shape)
+    lam = jnp.asarray(0.0, dtype=V.dtype)
+    single, pair = cp.pp_build_caches(V, list(Ws))
+    W_init = [w for w in Ws]
+
+    # host reference loop (the pre-device implementation)
+    hWs = [w for w in Ws]
+    hdWs = [jnp.zeros_like(w) for w in Ws]
+    hdMs = [jnp.zeros_like(w) for w in Ws]
+    hMs = [None] * order
+    hrel = np.zeros(order)
+    for _ in range(3):
+        sorted_idx = list(np.argsort(-hrel, kind="stable"))
+        for i in [int(x) for x in sorted_idx[:k]]:
+            M = single[i] + hdMs[i]
+            S = contract.hadamard_gram(hWs, skip_mode=i, regul=lam)
+            hMs[i] = M
+            hWs[i], hdWs[i] = solve.svd_solve_mod(M, W_init[i], S, 1.0)
+            hdMs[i] = jnp.zeros_like(hdMs[i])
+            for ii in range(order):
+                if ii == i:
+                    continue
+                a, b = min(i, ii), max(i, ii)
+                cache = pair[(a, b)]
+                if ii < i:
+                    hdMs[ii] = hdMs[ii] + jnp.einsum("abZ,bZ->aZ", cache,
+                                                     hdWs[i])
+                else:
+                    hdMs[ii] = hdMs[ii] + jnp.einsum("abZ,aZ->bZ", cache,
+                                                     hdWs[i])
+        for i in range(order):
+            if hMs[i] is not None:
+                hrel[i] = float(jnp.linalg.norm(hdMs[i].ravel())
+                                / jnp.linalg.norm(hMs[i].ravel()))
+        hWs = contract.normalize_factors(hWs)
+
+    # device sweep
+    dWs = [jnp.zeros_like(w) for w in Ws]
+    dMs = [jnp.zeros_like(w) for w in Ws]
+    Ms = [jnp.zeros_like(w) for w in Ws]
+    ms_set = jnp.zeros(order, dtype=bool)
+    rel = jnp.zeros(order, dtype=V.dtype)
+    grads = [jnp.zeros_like(w) for w in Ws]
+    cur = [w for w in Ws]
+    for _ in range(3):
+        (cur, dWs, dMs, Ms, ms_set, rel, grads) = cp.pp_partupdate_sweep(
+            single, pair, cur, W_init, dWs, dMs, Ms, ms_set, rel, grads,
+            lam, 1.0, update_size=k, solver="svd")
+    for a, b in zip(hWs, cur):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rel), hrel, rtol=1e-6, atol=1e-12)
