@@ -63,6 +63,14 @@ def _einsum(spec, *ops, precision=None):
     chain (the one touching V) runs in bf16.
     """
     if any(o.dtype == jnp.bfloat16 for o in ops):
+        if jax.default_backend() == "cpu":
+            # CPU lacks a BF16xBF16=F32 dot kernel. bf16 products are
+            # exact in f32 (8-bit mantissas), so rounding the operands to
+            # bf16 and multiplying in f32 is numerically equivalent to the
+            # TPU's native bf16 MXU with f32 accumulation.
+            ops = [o.astype(jnp.bfloat16).astype(jnp.float32) for o in ops]
+            return jnp.einsum(spec, *ops, optimize=True,
+                              precision=jax.lax.Precision.DEFAULT)
         ops = [o.astype(jnp.bfloat16) for o in ops]
         return jnp.einsum(spec, *ops, optimize=True,
                           precision=jax.lax.Precision.DEFAULT,

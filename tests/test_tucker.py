@@ -93,3 +93,19 @@ def test_sign_fix_keeps_dw_small(rng):
     for a, b in zip(Ws1, Ws2):
         rel = float(jnp.linalg.norm((a - b).ravel()) / jnp.linalg.norm(a.ravel()))
         assert rel < 1e-6
+
+
+def test_tucker_mixed_bf16_converges(rng):
+    """Tucker DT<->PP with bf16-stored V (mixed precision): factors stay
+    f32-orthonormal and the relative residual tracks the f32 run."""
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import tucker
+
+    V = rng.standard_normal((10, 12, 14)).astype(np.float64)
+    ranks = (3, 4, 4)
+    cfg = tucker.TuckerConfig(tol=0.0, maxiter=15, resprint=15)
+    r32 = tucker.als_tucker_pp(jnp.asarray(V, jnp.float32), ranks, cfg)
+    r16 = tucker.als_tucker_pp(jnp.asarray(V, jnp.bfloat16), ranks, cfg)
+    assert r16.factors[0].dtype == jnp.float32
+    Vn = float(np.linalg.norm(V))
+    assert abs(r16.diffnorm - r32.diffnorm) / Vn < 0.05
