@@ -21,6 +21,7 @@ paper's Stampede2 runs put the CTF CPU DT sweep for this config at order
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -162,6 +163,83 @@ def main() -> int:
         t_o3_xla = time_o3(False)
         t_o3_pallas = time_o3(True)
 
+        # Extended suite (order-6 synthetic + Tucker): ~7 extra XLA
+        # compiles, which can push a cold-cache run past the driver's
+        # timeout — opt-in via PP_BENCH_FULL=1 (results are recorded in
+        # results/BENCH_full_manual.json).
+        full = bool(os.environ.get("PP_BENCH_FULL"))
+        o6_dt = o6_build = o6_pp = tucker_dt = tucker_pp = None
+
+        # order-6 synthetic (the reference's strong-scaling family,
+        # script_strongscaling.py: dim 6 rank 6; size shrunk to one chip)
+        if full:
+            s6, R6 = 24, 6
+            V6 = jax.random.uniform(jax.random.PRNGKey(6), (s6,) * 6,
+                                    dtype=dtype)
+            Ws6 = [jax.random.uniform(jax.random.PRNGKey(60 + i), (s6, R6),
+                                      dtype=dtype) for i in range(6)]
+            lam6 = jnp.asarray(0.0, dtype=dtype)
+            cur6, _ = cp.dt_sweep(V6, list(Ws6), lam6, solver="svd")
+            _pull(cur6[0])
+            n6 = 30
+            t0 = time.perf_counter()
+            for _ in range(n6):
+                cur6, _ = cp.dt_sweep(V6, cur6, lam6, solver="svd")
+            _pull(cur6[0])
+            o6_dt = max((time.perf_counter() - t0 - pull_overhead) / n6, 1e-9)
+
+            s6c, p6c, Wsb6 = build_chained(V6, list(Ws6))
+            _pull(s6c[0])
+            t0 = time.perf_counter()
+            for _ in range(nb):
+                s6c, p6c, Wsb6 = build_chained(V6, Wsb6)
+            _pull(s6c[0])
+            o6_build = max(
+                (time.perf_counter() - t0 - pull_overhead) / nb, 1e-9)
+
+            W_init6 = [w for w in Ws6]
+            dWs6 = [jnp.zeros_like(w) for w in Ws6]
+            cur6, dcur6, _ = cp.pp_sweep(s6c, p6c, list(Ws6), W_init6, dWs6,
+                                         lam6, 1.0, solver="svd")
+            _pull(cur6[0])
+            t0 = time.perf_counter()
+            for _ in range(n6):
+                cur6, dcur6, _ = cp.pp_sweep(s6c, p6c, cur6, W_init6, dcur6,
+                                             lam6, 1.0, solver="svd")
+            _pull(cur6[0])
+            o6_pp = max((time.perf_counter() - t0 - pull_overhead) / n6, 1e-9)
+
+            # Tucker on the coil-100 config with the reference's rank vector
+            # (3, 10, 10, 70) (test_ALS.cxx:366-372, script_real.py:50-54)
+            from pairwise_perturbation_tpu.models import tucker as ppt
+            tranks = (3, 10, 10, 70)
+            core0, Wst = ppt.hosvd(V, tranks)
+            Wst, _ = ppt.tucker_dt_sweep(V, list(Wst), list(Wst), ranks=tranks,
+                                         use_sign=True)
+            _pull(Wst[0])
+            nt = 20
+            t0 = time.perf_counter()
+            for _ in range(nt):
+                Wst, core_t = ppt.tucker_dt_sweep(V, list(Wst), list(Wst),
+                                                  ranks=tranks, use_sign=True)
+            _pull(Wst[0])
+            tucker_dt = max(
+                (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)
+
+            st, pt = ppt.tucker_build_caches(V, list(Wst))
+            W_initt = [w for w in Wst]
+            dWst = [jnp.zeros_like(w) for w in Wst]
+            curt, dct, _ = ppt.tucker_pp_sweep(st, pt, list(Wst), W_initt, dWst,
+                                               ranks=tranks)
+            _pull(curt[0])
+            t0 = time.perf_counter()
+            for _ in range(nt):
+                curt, dct, _ = ppt.tucker_pp_sweep(st, pt, curt, W_initt, dct,
+                                                   ranks=tranks)
+            _pull(curt[0])
+            tucker_pp = max(
+                (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)
+
         # mixed-precision mode: V stored bf16, factors/solves f32
         # (contract._einsum casts contraction operands to bf16 with f32
         # accumulation). MTTKRP rel err ~1.5e-3 — far below the
@@ -212,6 +290,14 @@ def main() -> int:
                           "err ~1.5e-3 (<< benchmark restol 0.05)",
             "config": "coil-100-shaped random, order-4 3x128x128x7200, rank 10, f32",
         }
+        if full:
+            extra.update({
+                "order6_s24_dt_sweep_seconds": round(o6_dt, 6),
+                "order6_s24_pp_cache_build_seconds": round(o6_build, 6),
+                "order6_s24_pp_sweep_seconds": round(o6_pp, 6),
+                "tucker_coil_dt_sweep_seconds": round(tucker_dt, 6),
+                "tucker_coil_pp_sweep_seconds": round(tucker_pp, 6),
+            })
         value = sweeps_per_sec
     except Exception as e:  # pragma: no cover
         print(json.dumps({"metric": "cp_dt_sweeps_per_sec_coil100",

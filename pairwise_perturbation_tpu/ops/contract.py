@@ -104,7 +104,8 @@ def mttkrp(V, factors: Sequence, mode: int, precision=None,
     order = V.ndim
     if use_pallas is None:
         use_pallas = getattr(config.get(), "use_pallas", False)
-    if (use_pallas and order == 3 and V.dtype == jnp.float32
+    if (use_pallas and order == 3
+            and V.dtype in (jnp.float32, jnp.bfloat16)
             and jax.default_backend() != "cpu"):
         from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
         return mttkrp_pallas.mttkrp3_mode(V, factors, mode)

@@ -44,21 +44,34 @@ def _kernel(v_ref, b_ref, c_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    v = v_ref[:]                             # (TI, JB, K)
+    v, b, c = v_ref[:], b_ref[:], c_ref[:]   # v: (TI, JB, K)
+    if v.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # CPU (interpret/tests) lacks a bf16 dot kernel; bf16 products are
+        # exact in f32, so upcasting is numerically equivalent.
+        v, b, c = (x.astype(jnp.float32) for x in (v, b, c))
     ti, jb, k = v.shape
-    g = jnp.dot(v.reshape(ti * jb, k), c_ref[:],
+    g = jnp.dot(v.reshape(ti * jb, k), c,
                 preferred_element_type=jnp.float32)       # (TI*JB, R)
-    g = g.reshape(ti, jb, -1) * b_ref[:][None, :, :]       # KR weight
+    g = g.reshape(ti, jb, -1) * b[None, :, :]              # KR weight
     out_ref[:] += jnp.sum(g, axis=1).astype(out_ref.dtype)
 
 
-def _mttkrp3_tiles(I: int, J: int, K: int):
+def _mttkrp3_tiles(I: int, J: int, K: int, itemsize: int = 4,
+                   min_sub: int = 8):
     """Auto tile selection, from a v5e sweep (scripts/bench_mttkrp3.py):
     ~2 MiB V blocks with the widest J tile that divides J (wider tile_j =
     larger GEMM M per step). Best measured: 512^3 -> (32, 32) at 0.33 ms
-    (2.6x XLA); 200^3 -> (200, 8) at 0.08 ms (11x XLA)."""
-    tile_j = 32 if J % 32 == 0 else (16 if J % 16 == 0 else 8)
-    tile_i = max(8, min(I, (2 << 20) // (tile_j * K * 4) // 8 * 8))
+    (2.6x XLA); 200^3 -> (200, 8) at 0.08 ms (11x XLA). bf16 blocks need
+    16-row sublane tiles (min_sub=16)."""
+    if J % 32 == 0:
+        tile_j = 32
+    elif J % 16 == 0 or min_sub > 8:
+        tile_j = 16  # non-divisible J is zero-padded by the caller
+    else:
+        tile_j = 8
+    tile_i = max(min_sub,
+                 min(I, (2 << 20) // (tile_j * K * itemsize)
+                     // min_sub * min_sub))
     return tile_i, tile_j
 
 
@@ -73,7 +86,13 @@ def mttkrp3(V, B, C, tile_i: int = None, tile_j: int = None,
     """
     I, J, K = V.shape
     R = B.shape[1]
-    auto_i, auto_j = _mttkrp3_tiles(I, J, K)
+    bf16 = V.dtype == jnp.bfloat16
+    out_dtype = jnp.float32 if bf16 else V.dtype
+    if bf16:
+        B = B.astype(jnp.bfloat16)
+        C = C.astype(jnp.bfloat16)
+    auto_i, auto_j = _mttkrp3_tiles(I, J, K, itemsize=2 if bf16 else 4,
+                                    min_sub=16 if bf16 else 8)
     tile_i = min(tile_i or auto_i, I)
     tile_j = min(tile_j or auto_j, J)
     # zero-pad J to a tile multiple: input-block padding contents are
@@ -102,7 +121,7 @@ def mttkrp3(V, B, C, tile_i: int = None, tile_j: int = None,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=jax.ShapeDtypeStruct((I, R), V.dtype),
+        out_shape=jax.ShapeDtypeStruct((I, R), out_dtype),
         interpret=interpret,
     )(V, B, C)
 

@@ -94,3 +94,29 @@ def test_build_pp_caches_pallas_route(rng):
     for ij in p_x:
         np.testing.assert_allclose(np.asarray(p_p[ij]), np.asarray(p_x[ij]),
                                    rtol=2e-4, atol=1e-3)
+
+
+def test_mttkrp3_bf16_inputs(rng):
+    """bf16-stored V: the fused kernel computes with f32 accumulation and
+    returns f32, matching the mixed-precision einsum path."""
+    I, J, K, R = 32, 24, 40, 5
+    V = jnp.asarray(rng.standard_normal((I, J, K)), dtype=jnp.bfloat16)
+    B = jnp.asarray(rng.standard_normal((J, R)).astype(np.float32))
+    C = jnp.asarray(rng.standard_normal((K, R)).astype(np.float32))
+    got = mttkrp_pallas.mttkrp3(V, B, C, interpret=True)
+    assert got.dtype == jnp.float32
+    want = contract.mttkrp(V, [None, B, C], 0, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_mttkrp3_bf16_ragged_j(rng):
+    """bf16 requires 16-row J tiles; J=20 exercises the zero-pad path."""
+    I, J, K, R = 16, 20, 40, 4
+    V = jnp.asarray(rng.standard_normal((I, J, K)), dtype=jnp.bfloat16)
+    B = jnp.asarray(rng.standard_normal((J, R)).astype(np.float32))
+    C = jnp.asarray(rng.standard_normal((K, R)).astype(np.float32))
+    got = mttkrp_pallas.mttkrp3(V, B, C, interpret=True)
+    want = contract.mttkrp(V, [None, B, C], 0, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
