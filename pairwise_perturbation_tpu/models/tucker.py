@@ -103,10 +103,30 @@ class TuckerBinaryTreeSweep:
 
 
 def _factor_from_Y(Y, i: int, r: int, sign_ref=None):
-    """Leading left singular vectors of the mode-i unfolding of Y via Gram +
-    eigh; deterministic column signs, optionally aligned to ``sign_ref``."""
-    G = contract.mode_gram(Y, i)
-    U, _ = solve.truncated_eigh(G, r)
+    """Leading left singular vectors of the mode-i unfolding of Y,
+    via Gram + eigh on the SMALLER side of the unfolding.
+
+    The reference always Grams the mode side (unroll_tensor_contraction +
+    ScaLAPACK SVD, als_Tucker.cxx:12-23); for a tall unfolding A (s_i x m)
+    with m << s_i — e.g. coil-100 mode 7200 after the other modes are
+    rank-reduced to 3*10*10=300 — that is an s_i^2 Gram plus an s_i^2
+    eigh (seconds on one chip). Gramming the small side instead
+    (G = A^T A, m x m) and recovering U = A W diag(1/sigma) is
+    algebraically the same truncated SVD at O(s_i m^2).
+    Deterministic column signs, optionally aligned to ``sign_ref``."""
+    s_i = Y.shape[i]
+    m = Y.size // s_i
+    if m < s_i:
+        # unfold to (s_i, m): mode i first, remaining axes in order
+        perm = (i,) + tuple(ax for ax in range(Y.ndim) if ax != i)
+        A = jnp.transpose(Y, perm).reshape(s_i, m)
+        G = A.T @ A                                  # (m, m)
+        W, lam = solve.truncated_eigh(G, r)          # lam: top-r eigenvalues
+        inv_sigma = jax.lax.rsqrt(jnp.maximum(lam, 1e-30))
+        U = (A @ W) * inv_sigma[None, :]
+    else:
+        G = contract.mode_gram(Y, i)
+        U, _ = solve.truncated_eigh(G, r)
     U = solve.fix_sign_columns(U)
     if sign_ref is not None:
         U = solve.sign_match(U, sign_ref)
