@@ -141,6 +141,26 @@ def contract_mode_kr(T, rem_modes: Tuple[int, ...], has_rank: bool, factor,
     return out, rem_modes[:pos] + rem_modes[pos + 1:]
 
 
+def fused_partial_mttkrp(V, factors: Sequence,
+                         contract_modes: Sequence[int], precision=None):
+    """Partial MTTKRP as ONE einsum (V with all listed factors, Khatri-Rao
+    in the rank axis). Within a jit, XLA already fuses single-consumer
+    stepwise intermediates, so the gain over :func:`partial_mttkrp` is the
+    better einsum/GEMM path only (~8% on the coil-100 DT sweep). Use for
+    single-consumer chains; :func:`partial_mttkrp` materializes per step
+    for prefix reuse. Returns (tensor, remaining_modes)."""
+    order = V.ndim
+    il = _MODES[:order]
+    cset = set(contract_modes)
+    terms, ops = [il], [V]
+    for m in contract_modes:
+        terms.append(il[m] + _RANK)
+        ops.append(factors[m])
+    rem = tuple(m for m in range(order) if m not in cset)
+    spec = ",".join(terms) + "->" + "".join(il[m] for m in rem) + _RANK
+    return _einsum(spec, *ops, precision=precision), rem
+
+
 def partial_mttkrp(V, factors: Sequence, contract_modes: Sequence[int],
                    precision=None):
     """Chain-contract ``V`` with the factors of ``contract_modes`` (in order).

@@ -87,16 +87,25 @@ class BinaryTreeSweep:
             has_rank = True
         to_contract = [m for m in range(plo, phi + 1) if not lo <= m <= hi]
         priority = contract.contraction_priority(self.V.shape)
-        for m in contract.order_by_priority(to_contract, priority):
-            if not has_rank:
-                T, rem = contract.first_contraction(
-                    self.V, self.layouts, self.factors[m], m,
-                    precision=self.precision)
-            else:
-                T, rem = contract.contract_mode_kr(
-                    T, rem, has_rank, self.factors[m], m,
-                    precision=self.precision)
+        if not has_rank and len(to_contract) > 1 and not self.layouts:
+            # top-level node straight from V: one fused einsum — XLA skips
+            # materializing the first-level intermediate (single consumer)
+            T, rem = contract.fused_partial_mttkrp(
+                self.V, self.factors,
+                contract.order_by_priority(to_contract, priority),
+                precision=self.precision)
             has_rank = True
+        else:
+            for m in contract.order_by_priority(to_contract, priority):
+                if not has_rank:
+                    T, rem = contract.first_contraction(
+                        self.V, self.layouts, self.factors[m], m,
+                        precision=self.precision)
+                else:
+                    T, rem = contract.contract_mode_kr(
+                        T, rem, has_rank, self.factors[m], m,
+                        precision=self.precision)
+                has_rank = True
         self._memo[key] = T
         return T
 

@@ -181,6 +181,16 @@ def _mid_kernel(wt_ref, v_ref, o_ref):
     o_ref[0] = g.astype(o_ref.dtype)               # (R, L)
 
 
+def _mid_kernel_zp(wt_ref, v_ref, o_ref):
+    # (R, B) @ (B, L) -> (R, L), written into a rank-MAJOR output array
+    # (R, P, M): block (R, 1, L). Rank major-most is XLA's preferred
+    # batch-dim position for the consuming dots, so downstream tail
+    # contractions read it with no relayout.
+    g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:, 0, :] = g.astype(o_ref.dtype)
+
+
 def _mid_kernel_t(wt_ref, v_ref, o_ref):
     # Same GEMM, but the small (R, L) result is transposed in-VMEM per
     # step so the HBM output is rank-minor directly. XLA cannot fold a

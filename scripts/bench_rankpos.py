@@ -101,6 +101,60 @@ def main():
         b = xla_chain(V, W1, W0)
         print("max err:", float(jnp.abs(a - b).max()))
 
+    # variant: kernel emits (R, P, M) — rank MAJOR-most, exactly XLA's
+    # preferred dot-operand layout (batch dims leading)
+    def kernel_zmajor(V, W1):
+        P, B, C, D = V.shape
+        M = C * D
+        V3 = V.reshape(P, B, M)
+        L = 2048
+        nl = M // L
+        out = pl.pallas_call(
+            mk._mid_kernel_zp,
+            grid=(P, nl),
+            in_specs=[
+                pl.BlockSpec((R, B), lambda p, l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, L), lambda p, l: (p, 0, l),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, 1, L), lambda p, l: (0, p, l),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, P, M), V.dtype),
+        )(W1.T, V3)
+        return out.reshape(R, P, C, D)
+
+    @jax.jit
+    def kernel_zmajor_tail(V, W1, W0):
+        C1z = kernel_zmajor(V, W1)                    # (Z, a, c, d)
+        return jnp.einsum("Zacd,aZ->Zcd", C1z, W0)    # batch-major dot
+
+    @jax.jit
+    def kernel_zmajor_two_tails(V, W1, W0, W3):
+        C1z = kernel_zmajor(V, W1)                    # (Z, a, c, d)
+        n23 = jnp.einsum("Zacd,aZ->Zcd", C1z, W0)     # node(2,3), Z-major
+        leaf = jnp.einsum("Zcd,dZ->cZ", n23, W3)      # M_2 (c, Z)
+        return leaf
+
+    @jax.jit
+    def xla_two_tails(V, W1, W0, W3):
+        return jnp.einsum("abcd,bZ,aZ,dZ->cZ", V, W1, W0, W3,
+                          optimize=True)
+
+    t4 = timeit("kernel(Z-major) + tail", lambda: kernel_zmajor_tail(
+        V, W1, W0))
+    W3 = jax.random.uniform(jax.random.PRNGKey(9), (shape[3], R),
+                            dtype=jnp.float32)
+    t5 = timeit("kernel(Z-major) + 2 tails -> leaf",
+                lambda: kernel_zmajor_two_tails(V, W1, W0, W3))
+    t6 = timeit("XLA chain -> leaf",
+                lambda: xla_two_tails(V, W1, W0, W3))
+    if t5 and t6:
+        a = kernel_zmajor_two_tails(V, W1, W0, W3)
+        b = xla_two_tails(V, W1, W0, W3)
+        print("leaf max err:", float(jnp.abs(a - b).max()),
+              "scale:", float(jnp.abs(b).max()))
+
     # bf16 variants
     V16 = V.astype(jnp.bfloat16)
 
