@@ -42,8 +42,16 @@ def main():
     shape = (3, 128, 128, 7200)
     R = 10
     key = jax.random.PRNGKey(0)
-    kV, *kws = jax.random.split(key, len(shape) + 1)
-    V = jax.random.uniform(kV, shape, dtype=jnp.float32) * 255.0
+    kV, kN, *kws = jax.random.split(key, len(shape) + 2)
+    # exact-rank-R ground truth + 1% noise (the 'r'-fixture structure at
+    # the coil-100 shape): both precisions should drive the relative
+    # residual to the noise floor.
+    Gs = [jax.random.uniform(k, (s, R), dtype=jnp.float32)
+          for k, s in zip(jax.random.split(kV, len(shape)), shape)]
+    V = jnp.einsum("aZ,bZ,cZ,dZ->abcd", *Gs, optimize=True)
+    noise = jax.random.normal(kN, shape, dtype=jnp.float32)
+    V = V + noise * (0.01 * jnp.linalg.norm(V.ravel())
+                     / jnp.linalg.norm(noise.ravel()))
     Ws = [jax.random.uniform(k, (s, R), dtype=jnp.float32)
           for k, s in zip(kws, shape)]
     Vn = float(jnp.linalg.norm(V.ravel()))
@@ -57,7 +65,9 @@ def main():
     rel16 = res16.diffV / Vn
     print(json.dumps({"rel_residual_f32": round(rel32, 6),
                       "rel_residual_bf16v": round(rel16, 6),
-                      "bf16_within_benchmark_tol": bool(rel16 < 0.05)}))
+                      "bf16_matches_f32_fitness":
+                          bool(abs(rel16 - rel32) < 0.02),
+                      "bf16_below_benchmark_restol": bool(rel16 < 0.05)}))
 
 
 if __name__ == "__main__":
