@@ -100,3 +100,34 @@ def test_constrained_pp_caches_match_unconstrained(rng):
         got = np.asarray(pair_c[(i, j)])[:shape[i], :shape[j], :]
         np.testing.assert_allclose(got, np.asarray(pair_p[(i, j)]),
                                    rtol=1e-9)
+
+
+def test_sharded_dt_sweep_compiles_to_collectives(rng):
+    """The GSPMD-partitioned DT sweep must lower to collective reductions
+    over the mesh (psum/reduce-scatter of partial MTTKRPs) and must NOT
+    all-gather the full V onto every device — the CTF-equivalent
+    communication pattern (SURVEY.md section 2.6)."""
+    import jax
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import cp
+    from pairwise_perturbation_tpu.parallel import mesh as pmesh
+
+    shape, R = (8, 12, 16, 32), 3
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    Ws = cp.init_factors(shape, R, dtype=jnp.float32)
+    mesh = pmesh.make_mesh((8,))
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+    Wss = pmesh.shard_factors(Ws, layout)
+    lam = jnp.asarray(0.0, dtype=jnp.float32)
+
+    fn = jax.jit(lambda V, Ws, lam: cp.dt_sweep.__wrapped__(
+        V, Ws, lam, None, solver="svd"))
+    hlo = fn.lower(Vs, list(Wss), lam).compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo, \
+        "no collective reduction in the partitioned sweep"
+    # V must stay sharded: no all-gather producing a full-V-sized operand
+    full_v_shape = f"f32[{','.join(str(s) for s in layout.padded_shape)}]"
+    for line in hlo.splitlines():
+        if "all-gather" in line and full_v_shape in line:
+            raise AssertionError(f"full V gathered: {line[:160]}")
