@@ -147,7 +147,8 @@ def cmd_test_als(args) -> int:
                                   pp_res_tol=args.pp_res_tol,
                                   maxiter=args.maxiter,
                                   timelimit=args.timelimit,
-                                  resprint=args.resprint)
+                                  resprint=args.resprint,
+                                  subspace_iters=args.tucker_subspace)
         plot = PlotFile(args.filename, PlotFile.TUCKER_HEADER,
                         echo=not args.quiet)
         if args.pp == 0:

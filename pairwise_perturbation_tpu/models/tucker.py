@@ -45,6 +45,10 @@ class TuckerConfig:
     bench: bool = False
     tol_init_decay: float = 0.9      # als_Tucker.cxx:947-948
     tol_init_floor: float = 5e-3
+    # >0: warm-started subspace iteration instead of exact eigh for the
+    # factor extraction (~5x faster on v5e for large small-side Grams;
+    # inexact but self-correcting across sweeps). 0 = exact (reference).
+    subspace_iters: int = 0
 
 
 @dataclass
@@ -102,7 +106,30 @@ class TuckerBinaryTreeSweep:
 # ---------------------------------------------------------------------------
 
 
-def _factor_from_Y(Y, i: int, r: int, sign_ref=None):
+def _dot(a, b):
+    """Matmul at the configured (HIGHEST) precision — plain ``@`` uses
+    DEFAULT (single-pass bf16 on TPU), which measurably degrades the
+    factor subspaces."""
+    import pairwise_perturbation_tpu.config as _cfg
+    return jnp.matmul(a, b, precision=_cfg.default_precision())
+
+
+def _topk_subspace(G, r: int, Q0, iters: int):
+    """Top-``r`` eigenpairs of PSD ``G`` by warm-started subspace iteration
+    + Rayleigh-Ritz. eigh(300) costs 5.9 ms on v5e while qr(300x70) costs
+    0.13 ms — two iterations plus an r x r eigh run at 1.2 ms. ALS factor
+    subspaces drift slowly between sweeps, so the previous factor is an
+    excellent warm start. Returns (W[m, r], lam[r]) descending."""
+    Q, _ = jnp.linalg.qr(_dot(G, Q0))
+    for _ in range(max(iters - 1, 0)):
+        Q, _ = jnp.linalg.qr(_dot(G, Q))
+    B = _dot(Q.T, _dot(G, Q))
+    lam, Wk = jnp.linalg.eigh(B)
+    return _dot(Q, Wk[:, ::-1]), lam[::-1]
+
+
+def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
+                   subspace_iters: int = 0):
     """Leading left singular vectors of the mode-i unfolding of Y,
     via Gram + eigh on the SMALLER side of the unfolding.
 
@@ -113,32 +140,46 @@ def _factor_from_Y(Y, i: int, r: int, sign_ref=None):
     eigh (seconds on one chip). Gramming the small side instead
     (G = A^T A, m x m) and recovering U = A W diag(1/sigma) is
     algebraically the same truncated SVD at O(s_i m^2).
+
+    With ``subspace_iters > 0`` and a ``warm`` basis (the previous sweep's
+    factor), the eigh is replaced by warm-started subspace iteration
+    (:func:`_topk_subspace`) — inexact but self-correcting across HOOI
+    sweeps; opt-in (TuckerConfig.subspace_iters).
     Deterministic column signs, optionally aligned to ``sign_ref``."""
     s_i = Y.shape[i]
     m = Y.size // s_i
+    fast = subspace_iters > 0 and warm is not None
     if m < s_i:
         # unfold to (s_i, m): mode i first, remaining axes in order
         perm = (i,) + tuple(ax for ax in range(Y.ndim) if ax != i)
         A = jnp.transpose(Y, perm).reshape(s_i, m)
-        G = A.T @ A                                  # (m, m)
-        W, lam = solve.truncated_eigh(G, r)          # lam: top-r eigenvalues
+        G = _dot(A.T, A)                             # (m, m)
+        if fast and r < m:
+            W, lam = _topk_subspace(G, r, _dot(A.T, warm), subspace_iters)
+        else:
+            W, lam = solve.truncated_eigh(G, r)      # top-r eigenvalues
         inv_sigma = jax.lax.rsqrt(jnp.maximum(lam, 1e-30))
-        U = (A @ W) * inv_sigma[None, :]
+        U = _dot(A, W) * inv_sigma[None, :]
     else:
         G = contract.mode_gram(Y, i)
-        U, _ = solve.truncated_eigh(G, r)
+        if fast and r < s_i:
+            U, _ = _topk_subspace(G, r, warm, subspace_iters)
+        else:
+            U, _ = solve.truncated_eigh(G, r)
     U = solve.fix_sign_columns(U)
     if sign_ref is not None:
         U = solve.sign_match(U, sign_ref)
     return U
 
 
-@partial(jax.jit, static_argnames=("ranks", "use_sign"))
+@partial(jax.jit, static_argnames=("ranks", "use_sign", "subspace_iters"))
 def tucker_dt_sweep(V, Ws, sign_refs, *, ranks: Tuple[int, ...],
-                    use_sign: bool):
+                    use_sign: bool, subspace_iters: int = 0):
     """One DT Tucker sweep: per-mode tree TTMc -> Gram -> eigh -> sign fix;
     core from the last mode's Y (als_Tucker.cxx:342-408, 568-645).
-    Returns (Ws_new, core)."""
+    Returns (Ws_new, core). ``subspace_iters`` > 0 replaces the exact
+    eigh with warm-started subspace iteration (previous factor as the
+    start basis) — ~5x faster factor extraction on v5e."""
     order = V.ndim
     Ws = list(Ws)
     sweep = TuckerBinaryTreeSweep(V, Ws)
@@ -148,7 +189,8 @@ def tucker_dt_sweep(V, Ws, sign_refs, *, ranks: Tuple[int, ...],
         if i == order - 1:
             Y_end = Y
         ref = sign_refs[i] if use_sign else None
-        U = _factor_from_Y(Y, i, ranks[i], ref)
+        U = _factor_from_Y(Y, i, ranks[i], ref, warm=sign_refs[i],
+                           subspace_iters=subspace_iters)
         sweep.factors[i] = U
     Ws = sweep.factors
     core = contract.ttmc_contract_mode(Y_end, Ws[order - 1], order - 1)
@@ -172,8 +214,9 @@ def tucker_build_caches(V, Ws):
     return contract.build_ttmc_caches(V, Ws)
 
 
-@partial(jax.jit, static_argnames=("ranks",))
-def tucker_pp_sweep(single, pair, Ws, W_init, dWs, *, ranks: Tuple[int, ...]):
+@partial(jax.jit, static_argnames=("ranks", "subspace_iters"))
+def tucker_pp_sweep(single, pair, Ws, W_init, dWs, *,
+                    ranks: Tuple[int, ...], subspace_iters: int = 0):
     """One PP Tucker sweep (als_Tucker.cxx:823-891): corrected TTMc from
     caches, eigh factor update, sign fix vs W_init, cumulative dW.
     Returns (Ws_new, dWs_new, core)."""
@@ -185,7 +228,8 @@ def tucker_pp_sweep(single, pair, Ws, W_init, dWs, *, ranks: Tuple[int, ...]):
         Y = contract.pp_correct_ttmc(single[i], pair, dWs, i)
         if i == order - 1:
             Y_end = Y
-        U = _factor_from_Y(Y, i, ranks[i], W_init[i])
+        U = _factor_from_Y(Y, i, ranks[i], W_init[i], warm=W_init[i],
+                           subspace_iters=subspace_iters)
         Ws[i] = U
         dWs[i] = U - W_init[i]
     core = contract.ttmc_contract_mode(Y_end, Ws[order - 1], order - 1)
@@ -280,7 +324,9 @@ def als_tucker(V, ranks, cfg: TuckerConfig,
             if dtime > cfg.timelimit:
                 break
         if use_tree:
-            Ws, core = tucker_dt_sweep(V, Ws, Ws, ranks=ranks, use_sign=False)
+            Ws, core = tucker_dt_sweep(V, Ws, Ws, ranks=ranks,
+                                       use_sign=False,
+                                       subspace_iters=cfg.subspace_iters)
         else:
             Ws, core = tucker_hooi_sweep(V, Ws, ranks=ranks)
         it += 1
@@ -304,7 +350,8 @@ def _tucker_dt_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
             if dtime > cfg.timelimit:
                 return Ws, dWs, "timelimit"
         Ws_new, core = tucker_dt_sweep(V, Ws, W_prev, ranks=ranks,
-                                       use_sign=True)
+                                       use_sign=True,
+                                       subspace_iters=cfg.subspace_iters)
         state["core"] = core
         dWs = [W - Wp for W, Wp in zip(Ws_new, W_prev)]
         W_prev = [W for W in Ws_new]
@@ -350,6 +397,7 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
             if it == cfg.maxiter:
                 return Ws, dWs, "maxiter"
         Ws, dWs, core = tucker_pp_sweep(single, pair, Ws, W_init, dWs,
+                                        subspace_iters=cfg.subspace_iters,
                                         ranks=ranks)
         state["core"] = core
         state["iter"] = it + 1
@@ -402,9 +450,11 @@ def als_tucker_pp(V, ranks, cfg: TuckerConfig,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("ranks", "max_sweeps"))
+@partial(jax.jit, static_argnames=("ranks", "max_sweeps",
+                                   "subspace_iters"))
 def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
-                           *, ranks: Tuple[int, ...], max_sweeps: int = 256):
+                           *, ranks: Tuple[int, ...], max_sweeps: int = 256,
+                           subspace_iters: int = 0):
     """DT Tucker sweeps on device until all modes quiet / diffnorm < tol /
     budget. Returns (n, Ws, dWs, core, diffnorm, quiet, hist[max_sweeps,2])
     with hist rows = [diffnorm, diffV_est]."""
@@ -413,7 +463,8 @@ def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
     def body(carry):
         k, Ws, W_prev, dWs, cn_prev, dn, quiet, core, hist = carry
         Ws2, core2 = tucker_dt_sweep(V, list(Ws), list(W_prev), ranks=ranks,
-                                     use_sign=True)
+                                     use_sign=True,
+                                     subspace_iters=subspace_iters)
         dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
         from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
@@ -440,9 +491,11 @@ def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
     return k, list(Ws_f), list(dWs_f), core, dn, quiet, hist
 
 
-@partial(jax.jit, static_argnames=("ranks", "max_sweeps"))
+@partial(jax.jit, static_argnames=("ranks", "max_sweeps",
+                                   "subspace_iters"))
 def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget,
-                           *, ranks: Tuple[int, ...], max_sweeps: int = 64):
+                           *, ranks: Tuple[int, ...], max_sweeps: int = 64,
+                           subspace_iters: int = 0):
     """PP Tucker sweeps on device until the restart tolerance trips /
     diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist)."""
     V_norm_sq = contract.norm_sq(V)
@@ -453,7 +506,8 @@ def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget,
         k, Ws, dWs, cn_prev, dn, broke, core, hist = carry
         Ws2, dWs2, core2 = tucker_pp_sweep(single, pair, list(Ws),
                                            list(W_init), list(dWs),
-                                           ranks=ranks)
+                                           ranks=ranks,
+                                           subspace_iters=subspace_iters)
         from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         broke2 = jnp.any(jnp.abs(ratios) > tol_init)
@@ -500,10 +554,12 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
     # compile warm-up with zero sweep budgets, then start the clock
     _w1 = tucker_dt_phase_device(
         V, Ws, jnp.asarray(tol_init, V.dtype), jnp.asarray(cfg.tol, V.dtype),
-        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1)
+        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1,
+        subspace_iters=cfg.subspace_iters)
     _w2 = tucker_pp_phase_device(
         V, Ws, jnp.asarray(tol_init, V.dtype), jnp.asarray(cfg.tol, V.dtype),
-        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1)
+        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1,
+        subspace_iters=cfg.subspace_iters)
     jax.block_until_ready((_w1[3], _w2[3]))
     clock.reset()
 
@@ -527,7 +583,8 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         n, Ws, dWs, core, dn_d, quiet, hist = tucker_dt_phase_device(
             V, Ws, jnp.asarray(tol_init, V.dtype),
             jnp.asarray(cfg.tol, V.dtype), budget, ranks=ranks,
-            max_sweeps=cfg.maxiter + 1)
+            max_sweeps=cfg.maxiter + 1,
+            subspace_iters=cfg.subspace_iters)
         n = int(n)
         t1 = clock.dtime()
         _log(hist, n, 0, t0, t1)
@@ -539,7 +596,8 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         n, Ws, dWs, core, dn_d, hist = tucker_pp_phase_device(
             V, Ws, jnp.asarray(tol_init, V.dtype),
             jnp.asarray(cfg.tol, V.dtype), budget, ranks=ranks,
-            max_sweeps=cfg.maxiter + 1)
+            max_sweeps=cfg.maxiter + 1,
+            subspace_iters=cfg.subspace_iters)
         n = int(n)
         t1 = clock.dtime()
         _log(hist, n, 1, t0, t1)

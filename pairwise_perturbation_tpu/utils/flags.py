@@ -57,6 +57,11 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
     p.add_argument("-device_loop", type=int, default=0,
                    help="1: run DT/PP phases fully on device "
                         "(lax.while_loop; one host sync per phase)")
+    p.add_argument("-tucker_subspace", type=int, default=0,
+                   help="Tucker factor extraction: >0 = warm-started "
+                        "subspace iterations instead of exact eigh "
+                        "(~5x faster extraction; inexact, "
+                        "self-correcting across sweeps)")
     p.add_argument("-layouts", type=int, default=0,
                    help="1: keep mode-minor permuted copies of V so "
                         "first-level contractions avoid XLA transposes")

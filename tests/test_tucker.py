@@ -109,3 +109,20 @@ def test_tucker_mixed_bf16_converges(rng):
     assert r16.factors[0].dtype == jnp.float32
     Vn = float(np.linalg.norm(V))
     assert abs(r16.diffnorm - r32.diffnorm) / Vn < 0.05
+
+
+def test_tucker_subspace_iters_matches_exact(rng):
+    """Warm-started subspace-iteration factor extraction reaches the same
+    fitness as the exact eigh path (opt-in TuckerConfig.subspace_iters)."""
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import tucker
+
+    V = rng.standard_normal((12, 10, 14)).astype(np.float64)
+    ranks = (4, 3, 5)
+    cfg0 = tucker.TuckerConfig(tol=0.0, maxiter=15, resprint=15)
+    cfg2 = tucker.TuckerConfig(tol=0.0, maxiter=15, resprint=15,
+                               subspace_iters=2)
+    r0 = tucker.als_tucker_pp(jnp.asarray(V), ranks, cfg0)
+    r2 = tucker.als_tucker_pp(jnp.asarray(V), ranks, cfg2)
+    Vn = float(np.linalg.norm(V))
+    assert abs(r2.diffV - r0.diffV) / Vn < 0.02
