@@ -200,6 +200,7 @@ def main() -> int:
         # results/BENCH_full_manual.json).
         full = bool(os.environ.get("PP_BENCH_FULL"))
         o6_dt = o6_build = o6_pp = tucker_dt = tucker_pp = None
+        tucker_dt_sub = None
 
         # order-6 synthetic (the reference's strong-scaling family,
         # script_strongscaling.py: dim 6 rank 6; size shrunk to one chip)
@@ -255,6 +256,20 @@ def main() -> int:
                                                   ranks=tranks, use_sign=True)
             _pull(Wst[0])
             tucker_dt = max(
+                (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)
+
+            Wss = list(Wst)
+            Wss, _ = ppt.tucker_dt_sweep(V, list(Wss), list(Wss),
+                                         ranks=tranks, use_sign=True,
+                                         subspace_iters=2)
+            _pull(Wss[0])
+            t0 = time.perf_counter()
+            for _ in range(nt):
+                Wss, _ = ppt.tucker_dt_sweep(V, list(Wss), list(Wss),
+                                             ranks=tranks, use_sign=True,
+                                             subspace_iters=2)
+            _pull(Wss[0])
+            tucker_dt_sub = max(
                 (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)
 
             st, pt = ppt.tucker_build_caches(V, list(Wst))
@@ -329,6 +344,8 @@ def main() -> int:
                 "order6_s24_pp_cache_build_seconds": round(o6_build, 6),
                 "order6_s24_pp_sweep_seconds": round(o6_pp, 6),
                 "tucker_coil_dt_sweep_seconds": round(tucker_dt, 6),
+                "tucker_coil_dt_sweep_seconds_subspace2":
+                    round(tucker_dt_sub, 6),
                 "tucker_coil_pp_sweep_seconds": round(tucker_pp, 6),
             })
         value = sweeps_per_sec
