@@ -160,3 +160,34 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert len(out) == 5
+
+
+def test_layout_canonicalize_timelapse_shape():
+    """time-lapse (33,1344,1024,9): natural order lane-pads 9 -> 128
+    (14x memory); canonicalization must put a low-padding mode minor."""
+    from pairwise_perturbation_tpu.utils import layout
+
+    V = np.zeros((3, 13, 10, 9), dtype=np.float32)  # scaled-down analogue
+    Vp, perm = layout.canonicalize(V)
+    assert sorted(perm) == [0, 1, 2, 3]
+    # identity case: already fine layouts stay put
+    V2 = np.zeros((3, 16, 16, 256), dtype=np.float32)
+    V2p, perm2 = layout.canonicalize(V2)
+    assert perm2 == (0, 1, 2, 3)
+    # factor unpermutation round-trips
+    facs = [np.full((s, 2), i) for i, s in enumerate(Vp.shape)]
+    back = layout.unpermute_factors(facs, perm)
+    for m in range(4):
+        assert back[m].shape[0] == V.shape[m]
+
+
+def test_layout_canonical_perm_timelapse_real():
+    from pairwise_perturbation_tpu.utils import layout
+
+    shape = (33, 1344, 1024, 9)
+    perm = layout.canonical_perm(shape)
+    ps = [shape[m] for m in perm]
+    # minor mode must not be the 9; padded waste near 1
+    assert ps[-1] % 128 == 0 or ps[-1] >= 1024
+    waste = layout._pad_waste(ps[-2], ps[-1])
+    assert waste < 1.05
