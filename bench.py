@@ -194,6 +194,27 @@ def main() -> int:
         t_o3_xla = _best_of(lambda: time_o3(False))
         t_o3_pallas = _best_of(lambda: time_o3(True))
 
+        # order-3 512^3 (larger single-mode scale; Pallas auto-tiles)
+        o3_512_xla = o3_512_pallas = None
+        if os.environ.get("PP_BENCH_FULL"):
+            V5 = jax.random.uniform(jax.random.PRNGKey(5), (512, 512, 512),
+                                    dtype=dtype)
+            Ws5 = [jax.random.uniform(jax.random.PRNGKey(50 + i), (512, R),
+                                      dtype=dtype) for i in range(3)]
+
+            def time_o3_512(use_pallas, n=30):
+                cur = o3_sweep(V5, list(Ws5), use_pallas=use_pallas)
+                _pull(cur[0])
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    cur = o3_sweep(V5, cur, use_pallas=use_pallas)
+                _pull(cur[0])
+                return max(
+                    (time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
+
+            o3_512_xla = _best_of(lambda: time_o3_512(False))
+            o3_512_pallas = _best_of(lambda: time_o3_512(True))
+
         # Extended suite (order-6 synthetic + Tucker): ~7 extra XLA
         # compiles, which can push a cold-cache run past the driver's
         # timeout — opt-in via PP_BENCH_FULL=1 (results are recorded in
@@ -340,6 +361,8 @@ def main() -> int:
         }
         if full:
             extra.update({
+                "order3_512_sweep_seconds_xla": round(o3_512_xla, 6),
+                "order3_512_sweep_seconds_pallas": round(o3_512_pallas, 6),
                 "order6_s24_dt_sweep_seconds": round(o6_dt, 6),
                 "order6_s24_pp_cache_build_seconds": round(o6_build, 6),
                 "order6_s24_pp_sweep_seconds": round(o6_pp, 6),

@@ -176,7 +176,7 @@ def cmd_test_als(args) -> int:
             ppio.save_checkpoint(
                 args.checkpoint,
                 tlayout.unpermute_factors(res.factors, perm), res.iters,
-                core=res.core,
+                core=tlayout.unpermute_core(res.core, perm),
                 meta=dict(model="Tucker", tensor=args.tensor))
         if not args.quiet:
             print(f"\nIter = {res.iters} Final Diff norm {res.diffnorm:E}")

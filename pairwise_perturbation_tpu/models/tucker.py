@@ -149,8 +149,10 @@ def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
     s_i = Y.shape[i]
     m = Y.size // s_i
     fast = subspace_iters > 0 and warm is not None
-    if m < s_i:
-        # unfold to (s_i, m): mode i first, remaining axes in order
+    if r <= m < s_i:
+        # unfold to (s_i, m): mode i first, remaining axes in order.
+        # (r > m falls through to the mode-side eigh, whose orthonormal
+        # completion supplies the extra columns.)
         perm = (i,) + tuple(ax for ax in range(Y.ndim) if ax != i)
         A = jnp.transpose(Y, perm).reshape(s_i, m)
         G = _dot(A.T, A)                             # (m, m)
@@ -158,7 +160,11 @@ def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
             W, lam = _topk_subspace(G, r, _dot(A.T, warm), subspace_iters)
         else:
             W, lam = solve.truncated_eigh(G, r)      # top-r eigenvalues
-        inv_sigma = jax.lax.rsqrt(jnp.maximum(lam, 1e-30))
+        # relative clamp: near-null directions would otherwise be scaled
+        # by rsqrt of rounding noise into garbage columns
+        floor = 1e-12 * jnp.maximum(lam[0], 1e-30)
+        inv_sigma = jnp.where(lam > floor, jax.lax.rsqrt(
+            jnp.maximum(lam, floor)), 0.0)
         U = _dot(A, W) * inv_sigma[None, :]
     else:
         G = contract.mode_gram(Y, i)

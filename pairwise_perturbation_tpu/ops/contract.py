@@ -36,7 +36,6 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pairwise_perturbation_tpu import config
 
@@ -148,15 +147,34 @@ def fused_partial_mttkrp(V, factors: Sequence,
     stepwise intermediates, so the gain over :func:`partial_mttkrp` is the
     better einsum/GEMM path only (~8% on the coil-100 DT sweep). Use for
     single-consumer chains; :func:`partial_mttkrp` materializes per step
-    for prefix reuse. Returns (tensor, remaining_modes)."""
+    for prefix reuse. Returns (tensor, remaining_modes).
+
+    Mixed precision: for bf16-stored V, only the first contraction (the
+    one touching V) may run in bf16 — a single einsum would round every
+    later-level factor too (see :func:`_einsum`) — so the first step is
+    split out and the tail factors contract in one f32 einsum.
+    """
     order = V.ndim
     il = _MODES[:order]
     cset = set(contract_modes)
+    rem = tuple(m for m in range(order) if m not in cset)
+    if V.dtype == jnp.bfloat16 and len(contract_modes) > 1:
+        m0 = contract_modes[0]
+        T, trem = contract_mode_kr(V, tuple(range(order)), False,
+                                   factors[m0], m0, precision=precision)
+        k = len(trem)
+        letters = _MODES[:k]
+        terms, ops = [letters + _RANK], [T]
+        for m in contract_modes[1:]:
+            terms.append(letters[trem.index(m)] + _RANK)
+            ops.append(factors[m])
+        out_spec = "".join(letters[trem.index(m)] for m in rem) + _RANK
+        spec = ",".join(terms) + "->" + out_spec
+        return _einsum(spec, *ops, precision=precision), rem
     terms, ops = [il], [V]
     for m in contract_modes:
         terms.append(il[m] + _RANK)
         ops.append(factors[m])
-    rem = tuple(m for m in range(order) if m not in cset)
     spec = ",".join(terms) + "->" + "".join(il[m] for m in rem) + _RANK
     return _einsum(spec, *ops, precision=precision), rem
 
@@ -219,8 +237,8 @@ def first_contraction(V, layouts, factor, mode: int, precision=None,
     """V x_m W_m (Khatri-Rao first level). Output axes: remaining modes
     ascending + rank (same convention as :func:`contract_mode_kr`).
 
-    With ``config.use_pallas`` (or the explicit argument), non-minor modes
-    route to the single-HBM-pass Pallas kernel
+    With ``config.use_pallas_first`` (default off; or the explicit
+    argument), non-minor modes route to the single-HBM-pass Pallas kernel
     (:func:`...kernels.mttkrp_pallas.mid_contract`); otherwise a mode-minor
     layout of V is used when available, else a plain einsum.
     """
@@ -291,8 +309,8 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
     intermediates stay small. Intended to be called inside jit so XLA
     fuses the whole build. ``layouts`` (from :func:`prepare_layouts`)
     accelerates the first contraction of each chain; with
-    ``config.use_pallas`` chain roots route to the single-HBM-pass
-    Pallas kernel instead (see :func:`first_contraction`).
+    ``config.use_pallas_first`` (default off) chain roots route to the
+    single-HBM-pass Pallas kernel instead (see :func:`first_contraction`).
     """
     order = V.ndim
     priority = contraction_priority(V.shape)

@@ -81,3 +81,11 @@ def unpermute_factors(factors: Sequence, perm: Sequence[int]):
 def permute_tuple(values: Sequence, perm: Sequence[int]) -> tuple:
     """Reorder per-mode values (e.g. Tucker ranks) into permuted order."""
     return tuple(values[m] for m in perm)
+
+
+def unpermute_core(core, perm: Sequence[int]):
+    """Transpose a Tucker core computed in permuted mode order back to the
+    original order (axis p of the permuted core is original mode perm[p]),
+    so checkpoints stay internally consistent with unpermuted factors."""
+    inv = np.argsort(np.asarray(perm))
+    return np.transpose(np.asarray(core), inv)

@@ -191,3 +191,19 @@ def test_layout_canonical_perm_timelapse_real():
     assert ps[-1] % 128 == 0 or ps[-1] >= 1024
     waste = layout._pad_waste(ps[-2], ps[-1])
     assert waste < 1.05
+
+
+def test_layout_unpermute_core_roundtrip(rng):
+    from pairwise_perturbation_tpu.utils import layout
+
+    perm = (0, 3, 1, 2)
+    ranks_orig = (2, 3, 4, 5)
+    ranks_perm = layout.permute_tuple(ranks_orig, perm)
+    core_perm = rng.standard_normal(ranks_perm)
+    core_orig = layout.unpermute_core(core_perm, perm)
+    assert core_orig.shape == ranks_orig
+    # element correspondence: core_orig[i0,i1,i2,i3] == core_perm at the
+    # permuted index
+    idx_orig = (1, 2, 3, 4)
+    idx_perm = tuple(idx_orig[m] for m in perm)
+    assert core_orig[idx_orig] == core_perm[idx_perm]

@@ -126,3 +126,21 @@ def test_tucker_subspace_iters_matches_exact(rng):
     r2 = tucker.als_tucker_pp(jnp.asarray(V), ranks, cfg2)
     Vn = float(np.linalg.norm(V))
     assert abs(r2.diffV - r0.diffV) / Vn < 0.02
+
+
+def test_factor_from_y_rank_exceeds_small_side(rng):
+    """ranks[i] > product of other modes' ranks: the extraction must fall
+    back to the mode-side eigh whose orthonormal completion supplies the
+    extra columns (code-review regression)."""
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import tucker
+
+    V = jnp.asarray(rng.standard_normal((20, 6, 6)).astype(np.float32))
+    ranks = (10, 2, 2)   # Y for mode 0 is (20, 2, 2): m=4 < r=10
+    Ws, core = tucker.tucker_hooi_sweep(
+        V, [jnp.asarray(rng.standard_normal((s, r)).astype(np.float32))
+            for s, r in zip(V.shape, ranks)], ranks=ranks)
+    assert Ws[0].shape == (20, 10)
+    # orthonormal columns
+    G = np.asarray(Ws[0].T @ Ws[0])
+    np.testing.assert_allclose(G, np.eye(10), atol=1e-4)
