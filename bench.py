@@ -69,11 +69,14 @@ def main() -> int:
         out, _ = cp.dt_sweep(V, Ws, lam, solver="svd")
         _pull(out[0])
 
-        # measure host-pull latency
-        t0 = time.perf_counter()
-        for _ in range(3):
+        # measure host-pull latency: min of several — relay latency has a
+        # heavy right tail, and overestimating the overhead clamps the
+        # small per-sweep measurements it is subtracted from to ~0
+        def _pull_once():
+            t0 = time.perf_counter()
             _pull(out[0])
-        pull_overhead = (time.perf_counter() - t0) / 3
+            return time.perf_counter() - t0
+        pull_overhead = min(_pull_once() for _ in range(6))
 
         n = 100
         st = {"cur": list(Ws)}
@@ -160,6 +163,28 @@ def main() -> int:
                        / ncyc / (order - 1), 1e-9)
 
         msdt_sweep_time = _best_of(m_msdt)
+
+        # MSDT with the restricted hold-out rotation (-msdt_min_holdout):
+        # the size-3 mode is never held out, so no cycle step pays the
+        # |V|*R/3 first-level intermediate.
+        lefts_skip = tuple(m for m in range(order - 1, -1, -1)
+                           if shape[m] >= 8)
+        cur0s, _ = ppopt.msdt_cycle(V, list(Ws), lam, lefts=lefts_skip)
+        _pull(cur0s[0])
+        stms = {"cur": cur0s}
+
+        def m_msdt_skip():
+            cur = stms["cur"]
+            t0 = time.perf_counter()
+            for _ in range(ncyc):
+                cur, _ = ppopt.msdt_cycle(V, cur, lam, lefts=lefts_skip)
+            _pull(cur[0])
+            stms["cur"] = cur
+            sweeps_per_cycle = len(lefts_skip) * (order - 1) / order
+            return max((time.perf_counter() - t0 - pull_overhead)
+                       / ncyc / sweeps_per_cycle, 1e-9)
+
+        msdt_skip_sweep_time = _best_of(m_msdt_skip)
 
         # BASELINE config 1: order-3 200^3 rank-10 exact ALS sweep, with and
         # without the fused Pallas MTTKRP kernel
@@ -349,6 +374,7 @@ def main() -> int:
             "dt_sweep_seconds_bf16v": round(dt_sweep_bf16, 6),
             "pp_cache_build_seconds_bf16v": round(pp_build_bf16, 6),
             "msdt_sweep_seconds": round(msdt_sweep_time, 6),
+            "msdt_sweep_seconds_min_holdout8": round(msdt_skip_sweep_time, 6),
             # steady-state PP cost per sweep amortizing one cache build
             # over the 15-sweep cap (als_CP.cxx:667)
             "pp_effective_sweep_seconds": round(

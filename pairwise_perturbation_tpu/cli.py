@@ -200,11 +200,13 @@ def cmd_run(args) -> int:
                          dtype=_np_dtype(args.dtype))
     make = {
         0: lambda: opt.CPDTOptimizer(order, args.rank),
-        1: lambda: opt.CPMSDTOptimizer(order, args.rank),
+        1: lambda: opt.CPMSDTOptimizer(
+            order, args.rank, min_holdout_size=args.msdt_min_holdout),
         2: lambda: opt.CPDTLROptimizer(order, args.rank, args.updaterank,
                                        bool(args.randomsvd)),
-        3: lambda: opt.CPMSDTLROptimizer(order, args.rank, args.updaterank,
-                                         bool(args.randomsvd)),
+        3: lambda: opt.CPMSDTLROptimizer(
+            order, args.rank, args.updaterank, bool(args.randomsvd),
+            min_holdout_size=args.msdt_min_holdout),
         4: lambda: opt.CPSimpleOptimizer(order, args.rank),
     }[args.pp]
     model = opt.CPD(order, list(V.shape), args.rank, make())

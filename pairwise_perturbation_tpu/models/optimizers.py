@@ -121,8 +121,9 @@ def lr_update_cache(V, cache, U, s, VT, *, left_index: int):
     return cache + upd
 
 
-@partial(jax.jit, static_argnames=("start_left", "solver"))
-def msdt_cycle(V, Ws, lam, *, start_left: int, solver: str = "chol"):
+@partial(jax.jit, static_argnames=("start_left", "solver", "lefts"))
+def msdt_cycle(V, Ws, lam, *, start_left: int = -1, solver: str = "chol",
+               lefts: Optional[Tuple[int, ...]] = None):
     """One full MSDT rotation — ``order`` consecutive steps (= order-1
     sweeps) fused into a single XLA computation.
 
@@ -133,13 +134,21 @@ def msdt_cycle(V, Ws, lam, *, start_left: int, solver: str = "chol"):
     intra-cycle host round-trips (the reference pays none because MPI
     ranks run the loop natively; a host-driven dispatch per step through
     a TPU relay would dominate the millisecond-scale steps).
+
+    ``lefts`` overrides the hold-out sequence (restricted rotations skip
+    tiny modes whose first-level contraction leaves a huge intermediate —
+    a TPU-specific extension; every step still updates order-1 modes).
     """
     order = V.ndim
     Ws = list(Ws)
-    left = start_left
+    if lefts is None:
+        left = start_left
+        lefts = []
+        for _ in range(order):
+            left = (left + order - 1) % order
+            lefts.append(left)
     grads = None
-    for _ in range(order):
-        left = (left + order - 1) % order
+    for left in lefts:
         top = chain_top(V, Ws[left], left_index=left)
         Ws, grads = chain_step(V, top, Ws, lam, left_index=left,
                                positions=tuple(range(order - 1)),
@@ -224,33 +233,69 @@ class CPSimpleOptimizer(CPOptimizer):
 
 class CPMSDTOptimizer(CPOptimizer):
     """Multi-sweep dimension tree: rotate left_index by -1 each step, update
-    the other N-1 modes (cp_msdt_optimizer.cxx)."""
+    the other N-1 modes (cp_msdt_optimizer.cxx).
 
-    def __init__(self, order: int, rank: int):
+    TPU extension (opt-in, ``min_holdout_size > 0``): restrict the hold-out
+    rotation to modes of size >= min_holdout_size. Holding out a tiny mode
+    m pays a first-level intermediate of ~|V|*R/s_m elements (on skewed
+    real tensors like coil-100's size-3 mode that is 3.3x |V| of HBM
+    traffic); skipping it keeps every step's intermediate small. All modes
+    are still updated every step (order-1 updates/step) — only the update
+    *schedule* changes, so this deviates from cp_msdt_optimizer.cxx
+    semantics and defaults off.
+    """
+
+    def __init__(self, order: int, rank: int, min_holdout_size: int = 0):
         super().__init__(order, rank)
         self.left_index = order  # first update_indexes -> order-1
+        self.min_holdout_size = min_holdout_size
+        self.holdouts: Optional[Tuple[int, ...]] = None
+
+    def configure(self, V, W: List, lam: float = 0.0):
+        super().configure(V, W, lam)
+        eligible = tuple(m for m in range(self.order)
+                         if V.shape[m] >= self.min_holdout_size)
+        self.holdouts = eligible if eligible else tuple(range(self.order))
+
+    def _next_left(self) -> int:
+        order = self.order
+        if self.holdouts is None or len(self.holdouts) == order:
+            self.left_index = (self.left_index + order - 1) % order
+        else:
+            below = [m for m in self.holdouts if m < self.left_index]
+            self.left_index = max(below) if below else max(self.holdouts)
+        return self.left_index
+
+    def _cycle_lefts(self) -> Tuple[int, ...]:
+        """The hold-out sequence of one full rotation from the current
+        state (restores left_index; :meth:`step_cycle` commits it)."""
+        saved = self.left_index
+        lefts = tuple(self._next_left()
+                      for _ in range(len(self.holdouts or range(self.order))))
+        self.left_index = saved
+        return lefts
 
     def step(self) -> float:
         order = self.order
-        self.left_index = (self.left_index + order - 1) % order
+        left = self._next_left()
         lam = jnp.asarray(self.lam, dtype=self.V.dtype)
-        top = chain_top(self.V, self.W[self.left_index],
-                        left_index=self.left_index)
+        top = chain_top(self.V, self.W[left], left_index=left)
         positions = tuple(range(order - 1))
         self.W, self.grads = chain_step(self.V, top, self.W, lam,
-                                        left_index=self.left_index,
+                                        left_index=left,
                                         positions=positions, solver="chol")
         return (order - 1) / order
 
     def step_cycle(self) -> float:
-        """Device-resident full rotation: ``order`` steps in one dispatch
-        (left_index is rotation-invariant over a full cycle)."""
+        """Device-resident full rotation in one dispatch (left_index is
+        rotation-invariant over a full cycle)."""
         order = self.order
         lam = jnp.asarray(self.lam, dtype=self.V.dtype)
-        self.W, self.grads = msdt_cycle(self.V, self.W, lam,
-                                        start_left=self.left_index,
+        lefts = self._cycle_lefts()
+        self.W, self.grads = msdt_cycle(self.V, self.W, lam, lefts=lefts,
                                         solver="chol")
-        return float(order - 1)
+        self.left_index = lefts[-1]
+        return len(lefts) * (order - 1) / order
 
 
 class CPDTOptimizer(CPOptimizer):
@@ -361,8 +406,9 @@ class CPMSDTLROptimizer(CPMSDTOptimizer):
     (cp_msdt_lr_optimizer.cxx)."""
 
     def __init__(self, order: int, rank: int, update_rank: int,
-                 randomsvd: bool = False, seed: int = 0):
-        super().__init__(order, rank)
+                 randomsvd: bool = False, seed: int = 0,
+                 min_holdout_size: int = 0):
+        super().__init__(order, rank, min_holdout_size=min_holdout_size)
         self.update_rank = update_rank
         self.randomsvd = randomsvd
         self.low_rank_decomp = False
@@ -378,8 +424,7 @@ class CPMSDTLROptimizer(CPMSDTOptimizer):
 
     def step(self) -> float:
         order = self.order
-        self.left_index = (self.left_index + order - 1) % order
-        left = self.left_index
+        left = self._next_left()
         lam = jnp.asarray(self.lam, dtype=self.V.dtype)
         if self.low_rank_decomp and self.is_cached[left]:
             U, s, VT = self.usv

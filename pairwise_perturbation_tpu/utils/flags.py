@@ -62,6 +62,11 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                         "subspace iterations instead of exact eigh "
                         "(~5x faster extraction; inexact, "
                         "self-correcting across sweeps)")
+    p.add_argument("-msdt_min_holdout", type=int, default=0,
+                   help="MSDT(-LR): restrict the hold-out rotation to "
+                        "modes of size >= this (0 = reference semantics). "
+                        "Skewed tensors: skipping tiny hold-outs avoids "
+                        "|V|*R/s_m-sized intermediates")
     p.add_argument("-layouts", type=int, default=0,
                    help="1: keep mode-minor permuted copies of V so "
                         "first-level contractions avoid XLA transposes")

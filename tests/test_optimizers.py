@@ -103,3 +103,54 @@ def test_msdt_cycle_matches_steps(rng):
     for ga, gb in zip(a.grads, b.grads):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_msdt_min_holdout_rotation_and_convergence(rng):
+    """Restricted hold-out rotation (TPU extension, opt-in): tiny modes are
+    never held out, every step still updates order-1 modes, and the solver
+    converges on a skewed exact-rank problem."""
+    shape, R = (2, 8, 9, 10), 3
+    V, W0 = make_problem(rng, shape, R)
+
+    o = opt.CPMSDTOptimizer(len(shape), R, min_holdout_size=4)
+    o.configure(V, [jnp.array(w) for w in W0], 0.0)
+    assert o.holdouts == (1, 2, 3)
+    lefts = [o._next_left() for _ in range(6)]
+    assert lefts == [3, 2, 1, 3, 2, 1]  # descending cycle, mode 0 skipped
+    assert o._cycle_lefts() == (3, 2, 1)
+
+    model = run_cpd(V, W0, opt.CPMSDTOptimizer(len(shape), R,
+                                               min_holdout_size=4),
+                    maxsweep=60)
+    first = model.history[0]["diffV"]
+    final = model.history[-1]["diffV"]
+    assert final < 0.05 * first, (first, final)
+
+
+def test_msdt_min_holdout_cycle_matches_steps(rng):
+    shape, R = (3, 7, 8, 9), 4
+    V = jnp.asarray(rng.standard_normal(shape))
+    Ws0 = [jnp.asarray(rng.standard_normal((s, R))) for s in shape]
+
+    a = opt.CPMSDTOptimizer(len(shape), R, min_holdout_size=5)
+    a.configure(V, [w for w in Ws0], lam=0.0)
+    nsteps = len(a.holdouts)
+    for _ in range(nsteps):
+        a.step()
+
+    b = opt.CPMSDTOptimizer(len(shape), R, min_holdout_size=5)
+    b.configure(V, [w for w in Ws0], lam=0.0)
+    sweeps = b.step_cycle()
+    assert sweeps == nsteps * (len(shape) - 1) / len(shape)
+    for wa, wb in zip(a.W, b.W):
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_msdt_min_holdout_all_too_small_falls_back(rng):
+    shape, R = (4, 4, 4, 4), 2
+    V, W0 = make_problem(rng, shape, R)
+    o = opt.CPMSDTOptimizer(len(shape), R, min_holdout_size=100)
+    o.configure(V, [jnp.array(w) for w in W0], 0.0)
+    assert o.holdouts == (0, 1, 2, 3)  # fallback: full rotation
+    assert o.step() == (len(shape) - 1) / len(shape)
