@@ -126,18 +126,152 @@ def mttkrp3(V, B, C, tile_i: int = None, tile_j: int = None,
     )(V, B, C)
 
 
+def _kernel_m1(v_ref, a_ref, c_ref, out_ref):
+    # out[j, r] = sum_{i,k} V[i,j,k] A[i,r] C[k,r]; grid (j_tile, i_step)
+    # with i innermost, so the (TJ, R) output block accumulates in VMEM.
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    v, a, c = v_ref[:], a_ref[:], c_ref[:]   # v: (TI, TJ, K)
+    if v.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        v, a, c = (x.astype(jnp.float32) for x in (v, a, c))
+    ti, tj, k = v.shape
+    g = jnp.dot(v.reshape(ti * tj, k), c,
+                preferred_element_type=jnp.float32)       # (TI*TJ, R)
+    g = g.reshape(ti, tj, -1) * a[:, None, :]             # KR weight over i
+    out_ref[:] += jnp.sum(g, axis=0).astype(out_ref.dtype)
+
+
+def _kernel_m2(v_ref, a_ref, b_ref, out_ref):
+    # out[k, r] = sum_{i,j} V[i,j,k] A[i,r] B[j,r]; the full (K, R) output
+    # block is resident across the whole (i, j) reduction grid.
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    v, a, b = v_ref[:], a_ref[:], b_ref[:]   # v: (TI, TJ, K)
+    if v.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        v, a, b = (x.astype(jnp.float32) for x in (v, a, b))
+    ti, tj, k = v.shape
+    w = (a[:, None, :] * b[None, :, :]).reshape(ti * tj, -1)  # KR weights
+    g = jax.lax.dot_general(v.reshape(ti * tj, k), w,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (K, R)
+    out_ref[:] += g.astype(out_ref.dtype)
+
+
+def _pad_rows(X, n: int):
+    return X if X.shape[0] == n else jnp.pad(
+        X, ((0, n - X.shape[0]),) + ((0, 0),) * (X.ndim - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def mttkrp3_m1(V, A, C, tile_i: int = None, tile_j: int = None,
+               interpret: bool = False):
+    """Fused MTTKRP for the MIDDLE mode of an order-3 tensor, reading V in
+    its native layout (no transposed copy): M[j, r] = sum V[i,j,k] A C."""
+    I, J, K = V.shape
+    R = A.shape[1]
+    bf16 = V.dtype == jnp.bfloat16
+    out_dtype = jnp.float32 if bf16 else V.dtype
+    if bf16:
+        A = A.astype(jnp.bfloat16)
+        C = C.astype(jnp.bfloat16)
+    auto_i, auto_j = _mttkrp3_tiles(I, J, K, itemsize=2 if bf16 else 4,
+                                    min_sub=16 if bf16 else 8)
+    # the i tile is the reduction step here and the j tile the output rows;
+    # the same ~2 MiB block budget applies with the roles swapped.
+    tile_i = min(tile_i or auto_j, I)
+    tile_j = min(tile_j or auto_i, J)
+    Ip = ((I + tile_i - 1) // tile_i) * tile_i
+    Jp = ((J + tile_j - 1) // tile_j) * tile_j
+    if Ip != I or Jp != J:  # zero rows contribute nothing to the sum
+        V = jnp.pad(V, ((0, Ip - I), (0, Jp - J), (0, 0)))
+        A = _pad_rows(A, Ip)
+
+    def vmem(spec_args, index_map):
+        if _VMEM is not None and not interpret:
+            return pl.BlockSpec(spec_args, index_map, memory_space=_VMEM)
+        return pl.BlockSpec(spec_args, index_map)
+
+    out = pl.pallas_call(
+        _kernel_m1,
+        grid=(Jp // tile_j, Ip // tile_i),
+        in_specs=[
+            vmem((tile_i, tile_j, K), lambda j, i: (i, j, 0)),
+            vmem((tile_i, R), lambda j, i: (i, 0)),
+            vmem((K, R), lambda j, i: (0, 0)),
+        ],
+        out_specs=vmem((tile_j, R), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((Jp, R), out_dtype),
+        interpret=interpret,
+    )(V, A, C)
+    return out[:J] if Jp != J else out
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def mttkrp3_m2(V, A, B, tile_i: int = None, tile_j: int = None,
+               interpret: bool = False):
+    """Fused MTTKRP for the MINOR mode of an order-3 tensor, reading V in
+    its native layout: M[k, r] = sum_{i,j} V[i,j,k] A[i,r] B[j,r] — per
+    block a (K x TI*TJ) @ (TI*TJ x R) GEMM against the on-the-fly
+    Khatri-Rao weight block, accumulated into a resident (K, R) output."""
+    I, J, K = V.shape
+    R = A.shape[1]
+    bf16 = V.dtype == jnp.bfloat16
+    out_dtype = jnp.float32 if bf16 else V.dtype
+    if bf16:
+        A = A.astype(jnp.bfloat16)
+        B = B.astype(jnp.bfloat16)
+    auto_i, auto_j = _mttkrp3_tiles(I, J, K, itemsize=2 if bf16 else 4,
+                                    min_sub=16 if bf16 else 8)
+    tile_i = min(tile_i or auto_j, I)
+    tile_j = min(tile_j or auto_i, J)
+    Ip = ((I + tile_i - 1) // tile_i) * tile_i
+    Jp = ((J + tile_j - 1) // tile_j) * tile_j
+    if Ip != I or Jp != J:
+        V = jnp.pad(V, ((0, Ip - I), (0, Jp - J), (0, 0)))
+        A = _pad_rows(A, Ip)
+        B = _pad_rows(B, Jp)
+
+    def vmem(spec_args, index_map):
+        if _VMEM is not None and not interpret:
+            return pl.BlockSpec(spec_args, index_map, memory_space=_VMEM)
+        return pl.BlockSpec(spec_args, index_map)
+
+    return pl.pallas_call(
+        _kernel_m2,
+        grid=(Ip // tile_i, Jp // tile_j),
+        in_specs=[
+            vmem((tile_i, tile_j, K), lambda i, j: (i, j, 0)),
+            vmem((tile_i, R), lambda i, j: (i, 0)),
+            vmem((tile_j, R), lambda i, j: (j, 0)),
+        ],
+        out_specs=vmem((K, R), lambda i, j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((K, R), out_dtype),
+        interpret=interpret,
+    )(V, A, B)
+
+
 def mttkrp3_mode(V, factors, mode: int, tile_i: int = None,
                  interpret: bool = False):
-    """Fused order-3 MTTKRP for any mode (transposes V so ``mode`` leads;
-    the fused kernel then reads the transposed copy exactly once)."""
+    """Fused order-3 MTTKRP for any mode in ONE pass over V's native
+    layout. Mode-specialized kernels replace the transposed-copy fallback
+    (a full extra HBM read+write of V per non-leading mode, which made the
+    Pallas path slower than XLA at 512^3 — see NOTES_ROUND1.md)."""
     if mode == 0:
         return mttkrp3(V, factors[1], factors[2], tile_i=tile_i,
                        interpret=interpret)
-    perm = (mode,) + tuple(m for m in range(3) if m != mode)
-    Vt = jnp.transpose(V, perm)
-    others = [factors[m] for m in range(3) if m != mode]
-    return mttkrp3(Vt, others[0], others[1], tile_i=tile_i,
-                   interpret=interpret)
+    if mode == 1:
+        return mttkrp3_m1(V, factors[0], factors[2], tile_i=tile_i,
+                          interpret=interpret)
+    return mttkrp3_m2(V, factors[0], factors[1], tile_i=tile_i,
+                      interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -120,3 +120,31 @@ def test_mttkrp3_bf16_ragged_j(rng):
     want = contract.mttkrp(V, [None, B, C], 0, use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("shape", [(24, 16, 40), (13, 20, 17)])
+def test_mttkrp3_mode_specialized_ragged(rng, shape, mode):
+    """Modes 1/2 run in V's native layout (no transposed copy); ragged
+    I and J exercise the zero-pad paths of both specialized kernels."""
+    R = 5
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    Ws = [jnp.asarray(rng.standard_normal((s, R)).astype(np.float32))
+          for s in shape]
+    got = mttkrp_pallas.mttkrp3_mode(V, Ws, mode, interpret=True)
+    want = contract.mttkrp(V, Ws, mode, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_mttkrp3_mode_specialized_bf16(rng, mode):
+    I, J, K, R = 16, 20, 40, 4
+    V = jnp.asarray(rng.standard_normal((I, J, K)), dtype=jnp.bfloat16)
+    Ws = [jnp.asarray(rng.standard_normal((s, R)).astype(np.float32))
+          for s in (I, J, K)]
+    got = mttkrp_pallas.mttkrp3_mode(V, Ws, mode, interpret=True)
+    assert got.dtype == jnp.float32
+    want = contract.mttkrp(V, Ws, mode, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
