@@ -314,8 +314,27 @@ def main(argv=None) -> int:
     parser = flags.build_parser(f"pairwise_perturbation_tpu.cli {cmd}")
     args = parser.parse_args(argv)
     flags.clamp(args)
-    return {"test_als": cmd_test_als, "run": cmd_run,
-            "pp_bench": cmd_pp_bench}[cmd](args)
+    if args.issparse:
+        # The reference forwards -issparse into CTF sparse tensors
+        # (test_ALS.cxx); this framework is dense-only by design — fail
+        # loudly rather than silently ignoring the flag.
+        raise SystemExit(
+            "-issparse 1 is not supported: the TPU-native framework is "
+            "dense-only (sparse CTF tensors have no XLA equivalent here). "
+            "Re-run without -issparse.")
+    # Multi-host SPMD bring-up: no-op single-host, loud on a failed
+    # coordinator handshake (parallel/mesh.py:distributed_init).
+    from pairwise_perturbation_tpu.parallel import mesh as pmesh
+    pmesh.distributed_init()
+    if args.profile:
+        from pairwise_perturbation_tpu.utils import tracing
+        tracing.enable()
+    rc = {"test_als": cmd_test_als, "run": cmd_run,
+          "pp_bench": cmd_pp_bench}[cmd](args)
+    if args.profile:
+        from pairwise_perturbation_tpu.utils import tracing
+        print("\n" + tracing.report())
+    return rc
 
 
 if __name__ == "__main__":

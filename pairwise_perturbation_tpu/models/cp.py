@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pairwise_perturbation_tpu.ops import contract, dimtree, solve
+from pairwise_perturbation_tpu.utils import tracing
 from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
 
 
@@ -271,7 +272,8 @@ def _diag_and_log(V_norm_sq, V, Ws, grads, clock, plot, it, tol, pp_flag,
     """Run diagnostics with excluded time, log a CSV row, return scalars."""
     with clock.exclude():
         if grads is not None:
-            gn, diffV = cp_diagnostics(V_norm_sq, V, Ws, grads)
+            gn, diffV = tracing.timed("cp.diagnostics", cp_diagnostics,
+                                      V_norm_sq, V, Ws, grads)
             gn, diffV = float(gn), float(diffV)
         else:
             M_last = contract.mttkrp(V, Ws, len(Ws) - 1)
@@ -321,7 +323,8 @@ def _als_generic(V, Ws, cfg: CPConfig, plot, sweep_fn, clock=None) -> CPResult:
                 break
             if dtime > cfg.timelimit:
                 break
-        Ws, grads = sweep_fn(V, Ws, lam, solver=cfg.solver)
+        Ws, grads = tracing.timed("cp.sweep", sweep_fn, V, Ws, lam,
+                                  solver=cfg.solver)
         it += 1
     return CPResult(Ws, gn, diffV, it, converged, history)
 
@@ -343,7 +346,8 @@ def _dt_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "converged"
             if dtime > cfg.timelimit:
                 return Ws, dWs, "timelimit"
-        Ws, grads = dt_sweep(V, Ws, lam, solver=cfg.solver)
+        Ws, grads = tracing.timed("cp.dt_sweep", dt_sweep, V, Ws, lam,
+                                  solver=cfg.solver)
         state["grads"] = grads
         dWs = [W - Wp for W, Wp in zip(Ws, W_prev)]
         W_prev = [W for W in Ws]
@@ -381,7 +385,8 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                 return Ws, dWs, "restart"
             W_init = [W for W in Ws]
             dWs = [jnp.zeros_like(W) for W in Ws]
-            single, pair = pp_build_caches(V, Ws)
+            single, pair = tracing.timed("cp.pp_cache_build",
+                                         pp_build_caches, V, Ws)
             if partial_update:
                 dMs = [jnp.zeros_like(W) for W in Ws]
         if it % cfg.resprint == 0 or it == cfg.maxiter or it == init_iter:
@@ -394,8 +399,9 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
             if dtime > cfg.timelimit:
                 return Ws, dWs, "timelimit"
         if not partial_update:
-            Ws, dWs, grads = pp_sweep(single, pair, Ws, W_init, dWs, lam,
-                                      cfg.ratio_step, solver=cfg.solver)
+            Ws, dWs, grads = tracing.timed(
+                "cp.pp_sweep", pp_sweep, single, pair, Ws, W_init, dWs, lam,
+                cfg.ratio_step, solver=cfg.solver)
             state["grads"] = grads
         else:
             # one device dispatch per sweep: ranking, top-k solves and dM
@@ -408,10 +414,11 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                     else Ws[0].dtype)
             grads = state["grads"] or [jnp.zeros_like(W) for W in Ws]
             (Ws, dWs, dMs, Ms, ms_set, rel_perturbe,
-             grads) = pp_partupdate_sweep(
+             grads) = tracing.timed(
+                "cp.pp_partupdate_sweep", pp_partupdate_sweep,
                 single, pair, Ws, W_init, dWs, dMs, Ms, ms_set,
                 rel_perturbe, grads, lam, cfg.ratio_step,
-                update_size=update_size, solver="svd")
+                update_size=update_size, solver=cfg.solver)
             state["grads"] = grads
         state["iter"] = it + 1
     return Ws, dWs, "maxiter"

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pairwise_perturbation_tpu.ops import contract, dimtree, solve
+from pairwise_perturbation_tpu.utils import tracing
 from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
 
 
@@ -45,10 +46,14 @@ class TuckerConfig:
     bench: bool = False
     tol_init_decay: float = 0.9      # als_Tucker.cxx:947-948
     tol_init_floor: float = 5e-3
-    # >0: warm-started subspace iteration instead of exact eigh for the
-    # factor extraction (~5x faster on v5e for large small-side Grams;
-    # inexact but self-correcting across sweeps). 0 = exact (reference).
-    subspace_iters: int = 0
+    # Factor-extraction strategy: -1 = AUTO (default; warm-started
+    # subspace iteration whenever the eigh side is large enough for it to
+    # win — see _resolve_subspace_iters — exact eigh otherwise), 0 =
+    # always exact (reference semantics), >0 = that many subspace
+    # iterations. The subspace path is ~5x faster on v5e for large Grams
+    # (132 -> 15.4 ms/sweep on time-lapse), inexact per sweep but
+    # self-correcting across sweeps; fitness matched exact to 2e-4.
+    subspace_iters: int = -1
 
 
 @dataclass
@@ -128,6 +133,26 @@ def _topk_subspace(G, r: int, Q0, iters: int):
     return _dot(Q, Wk[:, ::-1]), lam[::-1]
 
 
+# AUTO thresholds (subspace_iters == -1): exact eigh cost grows cubically
+# with the Gram side while two warm-started subspace iterations stay
+# near-linear; on v5e the crossover is well below 256 (eigh(300) = 5.9 ms
+# vs 1.2 ms). The r-guard keeps the Rayleigh-Ritz basis overdetermined so
+# the inexact extraction cannot lose leading directions.
+AUTO_SUBSPACE_MIN_SIDE = 256
+AUTO_SUBSPACE_ITERS = 2
+
+
+def _resolve_subspace_iters(subspace_iters: int, side: int, r: int) -> int:
+    """Map the AUTO sentinel (-1) to a per-mode static decision: subspace
+    iteration for large eigh sides, exact eigh otherwise (the fallback
+    guard — small sides and wide ranks always take the exact path)."""
+    if subspace_iters >= 0:
+        return subspace_iters
+    if side >= AUTO_SUBSPACE_MIN_SIDE and 2 * r <= side:
+        return AUTO_SUBSPACE_ITERS
+    return 0
+
+
 def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
                    subspace_iters: int = 0):
     """Leading left singular vectors of the mode-i unfolding of Y,
@@ -148,6 +173,8 @@ def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
     Deterministic column signs, optionally aligned to ``sign_ref``."""
     s_i = Y.shape[i]
     m = Y.size // s_i
+    side = m if r <= m < s_i else s_i   # the eigh side actually used below
+    subspace_iters = _resolve_subspace_iters(subspace_iters, side, r)
     fast = subspace_iters > 0 and warm is not None
     if r <= m < s_i:
         # unfold to (s_i, m): mode i first, remaining axes in order.
@@ -284,7 +311,8 @@ def hosvd(V, ranks: Sequence[int]):
 def _diag_and_log(V_norm_sq, V, Ws, core_prev_norm, clock, plot, it, tol,
                   pp_flag, history):
     with clock.exclude():
-        core, cn, diffnorm, diffV = tucker_diagnostics(
+        core, cn, diffnorm, diffV = tracing.timed(
+            "tucker.diagnostics", tucker_diagnostics,
             V_norm_sq, V, Ws, core_prev_norm)
         cn, diffnorm, diffV = float(cn), float(diffnorm), float(diffV)
     dtime = clock.dtime()
@@ -309,7 +337,7 @@ def als_tucker(V, ranks, cfg: TuckerConfig,
     ranks = tuple(int(r) for r in ranks)
     V_norm_sq = contract.norm_sq(V)
     if Ws is None:
-        core, Ws = hosvd(V, ranks)
+        core, Ws = tracing.timed("tucker.hosvd", hosvd, V, ranks)
     else:
         Ws = [jnp.asarray(W) for W in Ws]
         core = contract.ttmc(V, Ws, skip_mode=-1)
@@ -330,11 +358,12 @@ def als_tucker(V, ranks, cfg: TuckerConfig,
             if dtime > cfg.timelimit:
                 break
         if use_tree:
-            Ws, core = tucker_dt_sweep(V, Ws, Ws, ranks=ranks,
-                                       use_sign=False,
-                                       subspace_iters=cfg.subspace_iters)
+            Ws, core = tracing.timed(
+                "tucker.dt_sweep", tucker_dt_sweep, V, Ws, Ws, ranks=ranks,
+                use_sign=False, subspace_iters=cfg.subspace_iters)
         else:
-            Ws, core = tucker_hooi_sweep(V, Ws, ranks=ranks)
+            Ws, core = tracing.timed("tucker.hooi_sweep", tucker_hooi_sweep,
+                                     V, Ws, ranks=ranks)
         it += 1
     return TuckerResult(Ws, core, diffnorm, diffV, it, converged, history)
 
@@ -355,9 +384,9 @@ def _tucker_dt_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "converged"
             if dtime > cfg.timelimit:
                 return Ws, dWs, "timelimit"
-        Ws_new, core = tucker_dt_sweep(V, Ws, W_prev, ranks=ranks,
-                                       use_sign=True,
-                                       subspace_iters=cfg.subspace_iters)
+        Ws_new, core = tracing.timed(
+            "tucker.dt_sweep", tucker_dt_sweep, V, Ws, W_prev, ranks=ranks,
+            use_sign=True, subspace_iters=cfg.subspace_iters)
         state["core"] = core
         dWs = [W - Wp for W, Wp in zip(Ws_new, W_prev)]
         W_prev = [W for W in Ws_new]
@@ -388,7 +417,8 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "restart"
             W_init = [W for W in Ws]
             dWs = [jnp.zeros_like(W) for W in Ws]
-            single, pair = tucker_build_caches(V, Ws)
+            single, pair = tracing.timed("tucker.pp_cache_build",
+                                         tucker_build_caches, V, Ws)
         if (it % cfg.resprint == 0 and it != 0) or it == 1 \
                 or it == cfg.maxiter or it == init_iter:
             core, cn, diffnorm, diffV, dtime = _diag_and_log(
@@ -402,9 +432,9 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "timelimit"
             if it == cfg.maxiter:
                 return Ws, dWs, "maxiter"
-        Ws, dWs, core = tucker_pp_sweep(single, pair, Ws, W_init, dWs,
-                                        subspace_iters=cfg.subspace_iters,
-                                        ranks=ranks)
+        Ws, dWs, core = tracing.timed(
+            "tucker.pp_sweep", tucker_pp_sweep, single, pair, Ws, W_init,
+            dWs, subspace_iters=cfg.subspace_iters, ranks=ranks)
         state["core"] = core
         state["iter"] = it + 1
     return Ws, dWs, "maxiter"
@@ -420,7 +450,7 @@ def als_tucker_pp(V, ranks, cfg: TuckerConfig,
     ranks = tuple(int(r) for r in ranks)
     V_norm_sq = contract.norm_sq(V)
     if Ws is None:
-        core, Ws = hosvd(V, ranks)
+        core, Ws = tracing.timed("tucker.hosvd", hosvd, V, ranks)
     else:
         Ws = [jnp.asarray(W) for W in Ws]
         core = contract.ttmc(V, Ws, skip_mode=-1)
@@ -546,7 +576,7 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
     V = jnp.asarray(V)
     ranks = tuple(int(r) for r in ranks)
     if Ws is None:
-        core, Ws = hosvd(V, ranks)
+        core, Ws = tracing.timed("tucker.hosvd", hosvd, V, ranks)
     else:
         Ws = [jnp.asarray(W) for W in Ws]
         core = contract.ttmc(V, Ws, skip_mode=-1)

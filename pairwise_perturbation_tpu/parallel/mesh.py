@@ -40,12 +40,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pairwise_perturbation_tpu.ops import contract
 
 
-def distributed_init(**kwargs):
-    """Multi-host SPMD bring-up (replaces MPI_Init; no-op if single host)."""
+def distributed_init(single_host: bool = False, **kwargs):
+    """Multi-host SPMD bring-up (replaces MPI_Init + CTF ``World``,
+    test_ALS.cxx:58-60).
+
+    A failed multi-host bring-up must be LOUD: silently degrading to
+    single-host would run the job on 1/N of the machine while looking
+    healthy. Pass ``single_host=True`` (or leave coordinator env/kwargs
+    entirely unset) to explicitly run single-process.
+    """
+    import os
+    wants_cluster = bool(kwargs) or any(
+        os.environ.get(k) for k in
+        ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+         "MEGASCALE_COORDINATOR_ADDRESS"))
+    if single_host or not wants_cluster:
+        return  # explicit / implied single-host: nothing to initialize
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized earlier in this process — fine
+        raise RuntimeError(
+            "multi-host bring-up failed (coordinator configured via "
+            f"{sorted(kwargs)} / env): {e}. Pass single_host=True to "
+            "run single-process intentionally.") from e
 
 
 def make_mesh(mesh_shape: Optional[Sequence[int]] = None,

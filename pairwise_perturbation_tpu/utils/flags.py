@@ -30,7 +30,9 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
     p.add_argument("-rank", type=int, default=0, help="0 -> size//2")
     p.add_argument("-updaterank", type=int, default=1)
     p.add_argument("-randomsvd", type=int, default=0)
-    p.add_argument("-issparse", type=int, default=0)
+    p.add_argument("-issparse", type=int, default=0,
+                   help="NOT SUPPORTED (dense-only framework); "
+                        "nonzero values are rejected with an error")
     p.add_argument("-resprint", type=int, default=10)
     p.add_argument("-tol", type=float, default=1e-10,
                    help="relative tolerance; multiplied by ||V||")
@@ -57,10 +59,12 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
     p.add_argument("-device_loop", type=int, default=0,
                    help="1: run DT/PP phases fully on device "
                         "(lax.while_loop; one host sync per phase)")
-    p.add_argument("-tucker_subspace", type=int, default=0,
-                   help="Tucker factor extraction: >0 = warm-started "
-                        "subspace iterations instead of exact eigh "
-                        "(~5x faster extraction; inexact, "
+    p.add_argument("-tucker_subspace", type=int, default=-1,
+                   help="Tucker factor extraction: -1 = auto (default: "
+                        "warm-started subspace iteration for large eigh "
+                        "sides, exact otherwise), 0 = always exact "
+                        "(reference semantics), >0 = that many subspace "
+                        "iterations (~5x faster extraction; inexact, "
                         "self-correcting across sweeps)")
     p.add_argument("-msdt_min_holdout", type=int, default=0,
                    help="MSDT(-LR): restrict the hold-out rotation to "
@@ -71,6 +75,13 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                    help="1: keep mode-minor permuted copies of V so "
                         "first-level contractions avoid XLA transposes")
     p.add_argument("-quiet", action="store_true")
+    p.add_argument("-profile", type=int, default=0,
+                   help="1: per-phase host timer scopes (synchronized "
+                        "dispatch; adds overhead) + tracing report at "
+                        "exit — the CTF Timer_epoch equivalent")
+    p.add_argument("-trace_dir", default="",
+                   help="with -profile: also write a jax.profiler device "
+                        "trace (view with xprof/tensorboard)")
     return p
 
 

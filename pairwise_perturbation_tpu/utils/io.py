@@ -6,11 +6,17 @@ Replaces the reference's MPI-IO path (``MPI_File_open`` +
 without a second full-size temp), and adds factor checkpointing the
 reference lacks (SURVEY.md section 5: "add factor checkpointing anyway").
 
-Dataset layouts (row-major float64 binaries, produced by the reference's
-script/imageloader.py and script/matloader.py):
-
-- coil-100   : declared tensor shape (3, 128, 128, 7200)  (test_ALS.cxx:293-297)
-- time-lapse : declared tensor shape (33, 1344, 1024, 9)   (test_ALS.cxx:312-316)
+Dataset layouts. The binaries are ROW-major float64 written by the
+reference's script/imageloader.py ((7200, 128, 128, 3)) and
+script/matloader.py ((9, 1024, 1344, 33)). CTF reads them into tensors
+declared (3, 128, 128, 7200) / (33, 1344, 1024, 9) (test_ALS.cxx:293-316)
+— but CTF's global element order is COLUMN-major (first index fastest),
+so the declared CTF shape is exactly the file shape reversed and the
+byte stream is shared. Loading here therefore reads the file in its
+row-major file shape and reverses the axes to land on the CTF-declared
+mode semantics: coil-100 (channel, col, row, image), time-lapse
+(band, col, row, time). Round 1 read the bytes row-major in the CTF
+shape, which scrambles any real (non-random) data.
 """
 
 from __future__ import annotations
@@ -21,8 +27,10 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-COIL100_SHAPE = (3, 128, 128, 7200)
+COIL100_SHAPE = (3, 128, 128, 7200)          # CTF-declared mode order
+COIL100_FILE_SHAPE = (7200, 128, 128, 3)     # row-major on disk
 TIME_LAPSE_SHAPE = (33, 1344, 1024, 9)
+TIME_LAPSE_FILE_SHAPE = (9, 1024, 1344, 33)
 
 
 def read_dense_binary(path: str, shape: Sequence[int], file_dtype="<f8",
@@ -56,12 +64,65 @@ def write_dense_binary(path: str, V: np.ndarray, file_dtype="<f8") -> None:
     np.asarray(V, dtype=file_dtype).tofile(path)
 
 
+def read_dense_sharded(path: str, layout, file_dtype="<f8",
+                       out_dtype=np.float32):
+    """Per-host sharded read of a row-major dense binary.
+
+    The TPU-native replacement for the reference's MPI-IO collective read
+    (``MPI_File_open`` + ``V.read_dense_from_file``, test_ALS.cxx:291-304):
+    each process reads ONLY the file spans owned by its addressable
+    devices (memmap slicing touches just those pages), zero-pads its
+    blocks to the layout's padded shape, and the global array is assembled
+    with ``jax.make_array_from_single_device_arrays`` — no host ever
+    materializes the full tensor, so the weak-scaling memory story holds.
+
+    ``layout`` is a :class:`...parallel.mesh.ShardedLayout` (from
+    ``plan_layout``). Returns a global jax.Array with the layout's
+    NamedSharding over the PADDED shape (padding rows are zero, which is
+    algebraically invisible to ALS — see parallel/mesh.py).
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(layout.mesh, layout.v_spec())
+    padded = tuple(layout.padded_shape)
+    orig = tuple(layout.orig_shape)
+    mm = np.memmap(path, dtype=file_dtype, mode="r", shape=orig)
+    idx_map = sharding.addressable_devices_indices_map(padded)
+    arrays = []
+    for dev, idx in idx_map.items():
+        # block span in the padded index space
+        spans = [(sl.start or 0, sl.stop if sl.stop is not None else p)
+                 for sl, p in zip(idx, padded)]
+        block_shape = tuple(hi - lo for lo, hi in spans)
+        # intersection with the real (unpadded) extent
+        read_slices = tuple(slice(lo, min(hi, s))
+                            for (lo, hi), s in zip(spans, orig))
+        block = np.zeros(block_shape, dtype=out_dtype)
+        valid = tuple(slice(0, max(sl.stop - sl.start, 0))
+                      for sl in read_slices)
+        if all(v.stop > 0 for v in valid):
+            block[valid] = mm[read_slices]
+        arrays.append(jax.device_put(block, dev))
+    del mm
+    return jax.make_array_from_single_device_arrays(padded, sharding, arrays)
+
+
+def _load_ctf_ordered(path: str, file_shape, out_dtype):
+    """Read a row-major binary and reverse axes to the CTF-declared mode
+    order (column-major global order == reversed row-major shape)."""
+    arr = read_dense_binary(path, file_shape, out_dtype=out_dtype)
+    return np.ascontiguousarray(arr.transpose(range(arr.ndim - 1, -1, -1)))
+
+
 def load_coil100(path: str = "coil-100.bin", out_dtype=np.float32):
-    return read_dense_binary(path, COIL100_SHAPE, out_dtype=out_dtype)
+    """-> (3, 128, 128, 7200): (channel, col, row, image)."""
+    return _load_ctf_ordered(path, COIL100_FILE_SHAPE, out_dtype)
 
 
 def load_time_lapse(path: str = "time-lapse.bin", out_dtype=np.float32):
-    return read_dense_binary(path, TIME_LAPSE_SHAPE, out_dtype=out_dtype)
+    """-> (33, 1344, 1024, 9): (band, col, row, time)."""
+    return _load_ctf_ordered(path, TIME_LAPSE_FILE_SHAPE, out_dtype)
 
 
 # ---------------------------------------------------------------------------

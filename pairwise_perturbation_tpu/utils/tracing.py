@@ -22,6 +22,17 @@ from typing import Dict, Iterator
 
 _times: Dict[str, float] = defaultdict(float)
 _counts: Dict[str, int] = defaultdict(int)
+_enabled: bool = False
+
+
+def enable(on: bool = True) -> None:
+    """Turn profiling scopes on (the CLI's ``-profile 1``)."""
+    global _enabled
+    _enabled = on
+
+
+def enabled() -> bool:
+    return _enabled
 
 
 @contextlib.contextmanager
@@ -32,6 +43,27 @@ def timer(name: str) -> Iterator[None]:
     finally:
         _times[name] += time.perf_counter() - t0
         _counts[name] += 1
+
+
+def timed(name: str, fn, *args, **kwargs):
+    """Dispatch ``fn`` under a named timer scope when profiling is enabled.
+
+    This is how the solvers instrument their jitted phases (DT sweep, PP
+    cache build, PP sweep, diagnostics) — the equivalent of the
+    reference's CTF ``Timer`` scopes around primitives (common.cxx:136-137,
+    712-724). JAX dispatch is async, so the result is synchronized inside
+    the scope: profile mode trades a per-call sync for true per-phase wall
+    times. When disabled this is a plain call with zero overhead.
+    """
+    if not _enabled:
+        return fn(*args, **kwargs)
+    import jax
+    t0 = time.perf_counter()
+    out = fn(*args, **kwargs)
+    out = jax.block_until_ready(out)
+    _times[name] += time.perf_counter() - t0
+    _counts[name] += 1
+    return out
 
 
 def report() -> str:
