@@ -479,6 +479,30 @@ def _sweep_norm_stats(V_norm_sq, Ws, grads, lam):
     return gn, diffV
 
 
+def _pp_sweep_norm_stats(V_norm_sq, single, pair, Ws, dWs, grads):
+    """Per-sweep (gradnorm, diffV estimate) for the PP device phase.
+
+    The exact-solve shortcut ||V||^2 - sum(S o G) used by the DT phase is
+    only valid for exact undamped solves; during PP (solve anchored at
+    W_init) it drifts upward with ||dW|| — the round-1 recorded
+    "excursion" (results/tpu_cp_pp.csv iter 30, diffV 34->264) was
+    exactly this bias, not a solver divergence (the true residual is
+    monotone; reproduced in f64, see tests/test_pp_excursion.py). Use
+    the full norm identity with the PP-corrected MTTKRP M~_N instead:
+    first-order accurate in dW (the same accuracy class as the PP update
+    itself) and O(N s^2 R) — no extra pass over V.
+    """
+    order = len(Ws)
+    gn = jnp.sqrt(sum(jnp.vdot(g, g) for g in grads))
+    M_last = contract.pp_correct_mttkrp(single[order - 1], pair, dWs,
+                                        order - 1)
+    inner = jnp.sum(M_last * Ws[order - 1])
+    S_all = contract.hadamard_gram(Ws, skip_mode=-1)
+    diffV = jnp.sqrt(jnp.maximum(V_norm_sq - 2.0 * inner + jnp.sum(S_all),
+                                 0.0))
+    return gn, diffV
+
+
 @partial(jax.jit, static_argnames=("solver", "max_sweeps"))
 def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
                     *, solver: str = "svd", max_sweeps: int = 256):
@@ -513,13 +537,20 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
     return k, list(Ws_f), list(dWs_f), gn, quiet, hist
 
 
-@partial(jax.jit, static_argnames=("solver", "max_sweeps"))
+@partial(jax.jit, static_argnames=("solver", "max_sweeps", "resprint"))
 def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
-                    layouts=None, *, solver: str = "svd",
-                    max_sweeps: int = 15):
+                    it0=0, layouts=None, *, solver: str = "svd",
+                    max_sweeps: int = 15, resprint: int = 0):
     """Build PP caches and run PP sweeps on device until the restart
     tolerance trips (any ||dW||/||W|| > tol_init, alsCP_PP_sub:656-671),
     the 15-sweep cache cap, convergence, or the budget.
+
+    ``it0``/``resprint``: sweep k corresponds to global iteration
+    it0 + k; on iterations the host will log (it % resprint == 0) the
+    hist diffV is computed EXACTLY (fresh MTTKRP norm identity — one V
+    pass, paid only on logged rows, matching the reference's
+    exact-but-excluded diagnostics, als_CP.cxx:474-482). Other rows get
+    the cheap first-order estimate, which is never consumed by logging.
 
     Returns (n_sweeps, Ws, dWs, gn, hist[max_sweeps, 2]).
     """
@@ -534,7 +565,15 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
                                     list(dWs), lam, ratio_step, solver=solver)
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         broke2 = jnp.any(jnp.abs(ratios) > tol_init)
-        gn2, diffV = _sweep_norm_stats(V_norm_sq, Ws2, grads, lam)
+        gn2, diffV = _pp_sweep_norm_stats(V_norm_sq, single, pair,
+                                          list(Ws2), list(dWs2), grads)
+        if resprint:
+            def exact_diffV(_):
+                M_last = contract.mttkrp(V, list(Ws2), order - 1)
+                return contract.cp_residual_norm(V_norm_sq, M_last,
+                                                 list(Ws2))
+            logged = jnp.mod(it0 + k, resprint) == 0
+            diffV = jax.lax.cond(logged, exact_diffV, lambda _: diffV, None)
         hist = hist.at[k].set(jnp.stack([gn2, diffV]))
         return (k + 1, tuple(Ws2), tuple(dWs2), gn2, broke2, hist)
 
@@ -582,8 +621,10 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
     _warm = dt_phase_device(V, Ws, lam, tol_init, gn_tol, jnp.asarray(0),
                             layouts, solver=cfg.solver, max_sweeps=max_dt)
     _warm2 = pp_phase_device(V, Ws, lam, cfg.ratio_step, tol_init, gn_tol,
-                             jnp.asarray(0), layouts, solver=cfg.solver,
-                             max_sweeps=cfg.pp_cache_sweeps)
+                             jnp.asarray(0), jnp.asarray(0), layouts,
+                             solver=cfg.solver,
+                             max_sweeps=cfg.pp_cache_sweeps,
+                             resprint=cfg.resprint)
     jax.block_until_ready((_warm[3], _warm2[3]))
     clock.reset()
 
@@ -616,8 +657,10 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
         t0 = clock.dtime()
         budget = jnp.asarray(min(cfg.pp_cache_sweeps, cfg.maxiter + 1 - it))
         n, Ws, dWs, gn_d, hist = pp_phase_device(
-            V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget, layouts,
-            solver=cfg.solver, max_sweeps=cfg.pp_cache_sweeps)
+            V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget,
+            jnp.asarray(it), layouts,
+            solver=cfg.solver, max_sweeps=cfg.pp_cache_sweeps,
+            resprint=cfg.resprint)
         n = int(n)
         t1 = clock.dtime()
         _log_phase(hist, n, 1, t0, t1)

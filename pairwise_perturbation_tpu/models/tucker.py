@@ -528,12 +528,17 @@ def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
 
 
 @partial(jax.jit, static_argnames=("ranks", "max_sweeps",
-                                   "subspace_iters"))
-def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget,
+                                   "subspace_iters", "resprint"))
+def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget, it0=0,
                            *, ranks: Tuple[int, ...], max_sweeps: int = 64,
-                           subspace_iters: int = 0):
+                           subspace_iters: int = 0, resprint: int = 0):
     """PP Tucker sweeps on device until the restart tolerance trips /
-    diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist)."""
+    diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist).
+
+    Like cp.pp_phase_device: the per-sweep core comes from the
+    PP-approximate TTMc (first-order in dW), so on rows the host will log
+    ((it0 + k) % resprint == 0) the core norm / diffV are recomputed
+    EXACTLY with a fresh TTMc — one V pass, paid only on logged rows."""
     V_norm_sq = contract.norm_sq(V)
     single, pair = contract.build_ttmc_caches(V, list(Ws))
     W_init = tuple(Ws)
@@ -548,6 +553,12 @@ def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget,
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         broke2 = jnp.any(jnp.abs(ratios) > tol_init)
         cn = jnp.linalg.norm(core2.ravel())
+        if resprint:
+            def exact_cn(_):
+                return jnp.linalg.norm(
+                    contract.ttmc(V, list(Ws2), skip_mode=-1).ravel())
+            logged = jnp.mod(it0 + k, resprint) == 0
+            cn = jax.lax.cond(logged, exact_cn, lambda _: cn, None)
         dn2 = jnp.abs(cn - cn_prev)
         diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
         hist = hist.at[k].set(jnp.stack([dn2, diffV]))
@@ -594,8 +605,9 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         subspace_iters=cfg.subspace_iters)
     _w2 = tucker_pp_phase_device(
         V, Ws, jnp.asarray(tol_init, V.dtype), jnp.asarray(cfg.tol, V.dtype),
-        jnp.asarray(0), ranks=ranks, max_sweeps=cfg.maxiter + 1,
-        subspace_iters=cfg.subspace_iters)
+        jnp.asarray(0), jnp.asarray(0), ranks=ranks,
+        max_sweeps=cfg.maxiter + 1, subspace_iters=cfg.subspace_iters,
+        resprint=cfg.resprint)
     jax.block_until_ready((_w1[3], _w2[3]))
     clock.reset()
 
@@ -631,9 +643,9 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         budget = jnp.asarray(cfg.maxiter + 1 - it)
         n, Ws, dWs, core, dn_d, hist = tucker_pp_phase_device(
             V, Ws, jnp.asarray(tol_init, V.dtype),
-            jnp.asarray(cfg.tol, V.dtype), budget, ranks=ranks,
-            max_sweeps=cfg.maxiter + 1,
-            subspace_iters=cfg.subspace_iters)
+            jnp.asarray(cfg.tol, V.dtype), budget, jnp.asarray(it),
+            ranks=ranks, max_sweeps=cfg.maxiter + 1,
+            subspace_iters=cfg.subspace_iters, resprint=cfg.resprint)
         n = int(n)
         t1 = clock.dtime()
         _log(hist, n, 1, t0, t1)

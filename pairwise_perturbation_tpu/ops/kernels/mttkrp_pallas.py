@@ -37,6 +37,16 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 
+# In-kernel dot precision: on TPU a DEFAULT-precision dot on f32 inputs
+# runs ONE bf16 MXU pass (~2.5e-3 rel error — measured vs the framework's
+# HIGHEST-precision XLA convention); these kernels are HBM-bound, so the
+# extra MXU passes of HIGHEST are free. bf16 inputs take the native bf16
+# path regardless.
+def _dot_prec(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _kernel(v_ref, b_ref, c_ref, out_ref):
     j = pl.program_id(1)
 
@@ -51,9 +61,21 @@ def _kernel(v_ref, b_ref, c_ref, out_ref):
         v, b, c = (x.astype(jnp.float32) for x in (v, b, c))
     ti, jb, k = v.shape
     g = jnp.dot(v.reshape(ti * jb, k), c,
-                preferred_element_type=jnp.float32)       # (TI*JB, R)
-    g = g.reshape(ti, jb, -1) * b[None, :, :]              # KR weight
+                preferred_element_type=jnp.float32,
+                precision=_dot_prec(v.dtype))             # (TI*JB, R)
+    # the KR weight multiplies the f32 GEMM result — broadcast in f32
+    # (a bf16 (JB, R) -> (1, JB, R) shape cast is unsupported in Mosaic)
+    g = g.reshape(ti, jb, -1) * b.astype(jnp.float32)[None, :, :]
     out_ref[:] += jnp.sum(g, axis=1).astype(out_ref.dtype)
+
+
+def _align_tile(t: int, min_sub: int) -> int:
+    """Round a tile size down to the sublane multiple (floor at min_sub).
+
+    Every tile that lands on a block's sublane dimension must be a
+    multiple of 8 (f32) / 16 (bf16); callers zero-pad the array dimension
+    up to a tile multiple, so flooring here never loses coverage."""
+    return max(min_sub, t // min_sub * min_sub)
 
 
 def _mttkrp3_tiles(I: int, J: int, K: int, itemsize: int = 4,
@@ -91,10 +113,14 @@ def mttkrp3(V, B, C, tile_i: int = None, tile_j: int = None,
     if bf16:
         B = B.astype(jnp.bfloat16)
         C = C.astype(jnp.bfloat16)
+    min_sub = 16 if bf16 else 8
     auto_i, auto_j = _mttkrp3_tiles(I, J, K, itemsize=2 if bf16 else 4,
-                                    min_sub=16 if bf16 else 8)
-    tile_i = min(tile_i or auto_i, I)
-    tile_j = min(tile_j or auto_j, J)
+                                    min_sub=min_sub)
+    # tile_i lands on the output block's sublane dim, tile_j on the V
+    # block's: both must be sublane multiples (ragged I like 13 would
+    # otherwise put a non-multiple-of-8/16 size on a sublane dim).
+    tile_i = _align_tile(min(tile_i or auto_i, I), min_sub)
+    tile_j = _align_tile(min(tile_j or auto_j, J), min_sub)
     # zero-pad J to a tile multiple: input-block padding contents are
     # unspecified in Pallas, and zero rows contribute nothing to the sum.
     if J % tile_j != 0:
@@ -140,8 +166,9 @@ def _kernel_m1(v_ref, a_ref, c_ref, out_ref):
         v, a, c = (x.astype(jnp.float32) for x in (v, a, c))
     ti, tj, k = v.shape
     g = jnp.dot(v.reshape(ti * tj, k), c,
-                preferred_element_type=jnp.float32)       # (TI*TJ, R)
-    g = g.reshape(ti, tj, -1) * a[:, None, :]             # KR weight over i
+                preferred_element_type=jnp.float32,
+                precision=_dot_prec(v.dtype))             # (TI*TJ, R)
+    g = g.reshape(ti, tj, -1) * a.astype(jnp.float32)[:, None, :]
     out_ref[:] += jnp.sum(g, axis=0).astype(out_ref.dtype)
 
 
@@ -158,10 +185,17 @@ def _kernel_m2(v_ref, a_ref, b_ref, out_ref):
     if v.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
         v, a, b = (x.astype(jnp.float32) for x in (v, a, b))
     ti, tj, k = v.shape
-    w = (a[:, None, :] * b[None, :, :]).reshape(ti * tj, -1)  # KR weights
+    # The KR weight must be a GEMM operand here (unlike modes 0/1, where
+    # the second factor multiplies the f32 GEMM result), so in bf16 it
+    # incurs exactly one rounding: bf16 products are exact in f32, so the
+    # weight is formed in f32 and cast once to the MXU input dtype.
+    w = (a.astype(jnp.float32)[:, None, :]
+         * b.astype(jnp.float32)[None, :, :]) \
+        .astype(v.dtype).reshape(ti * tj, -1)                # KR weights
     g = jax.lax.dot_general(v.reshape(ti * tj, k), w,
                             (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (K, R)
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(v.dtype))    # (K, R)
     out_ref[:] += g.astype(out_ref.dtype)
 
 
@@ -182,12 +216,16 @@ def mttkrp3_m1(V, A, C, tile_i: int = None, tile_j: int = None,
     if bf16:
         A = A.astype(jnp.bfloat16)
         C = C.astype(jnp.bfloat16)
+    min_sub = 16 if bf16 else 8
     auto_i, auto_j = _mttkrp3_tiles(I, J, K, itemsize=2 if bf16 else 4,
-                                    min_sub=16 if bf16 else 8)
+                                    min_sub=min_sub)
     # the i tile is the reduction step here and the j tile the output rows;
-    # the same ~2 MiB block budget applies with the roles swapped.
-    tile_i = min(tile_i or auto_j, I)
-    tile_j = min(tile_j or auto_i, J)
+    # the same ~2 MiB block budget applies with the roles swapped. Both
+    # tiles land on sublane dims (V block: tile_j; A block: tile_i; output
+    # block: tile_j), so both are aligned to the sublane multiple — the
+    # swapped auto_i was clamped by min(I, ...) and could be ragged.
+    tile_i = _align_tile(min(tile_i or auto_j, I), min_sub)
+    tile_j = _align_tile(min(tile_j or auto_i, J), min_sub)
     Ip = ((I + tile_i - 1) // tile_i) * tile_i
     Jp = ((J + tile_j - 1) // tile_j) * tile_j
     if Ip != I or Jp != J:  # zero rows contribute nothing to the sum
@@ -228,10 +266,13 @@ def mttkrp3_m2(V, A, B, tile_i: int = None, tile_j: int = None,
     if bf16:
         A = A.astype(jnp.bfloat16)
         B = B.astype(jnp.bfloat16)
+    min_sub = 16 if bf16 else 8
     auto_i, auto_j = _mttkrp3_tiles(I, J, K, itemsize=2 if bf16 else 4,
-                                    min_sub=16 if bf16 else 8)
-    tile_i = min(tile_i or auto_j, I)
-    tile_j = min(tile_j or auto_i, J)
+                                    min_sub=min_sub)
+    # both tiles land on sublane dims (V block: tile_j; A: tile_i; B:
+    # tile_j) — align both (see mttkrp3_m1).
+    tile_i = _align_tile(min(tile_i or auto_j, I), min_sub)
+    tile_j = _align_tile(min(tile_j or auto_i, J), min_sub)
     Ip = ((I + tile_i - 1) // tile_i) * tile_i
     Jp = ((J + tile_j - 1) // tile_j) * tile_j
     if Ip != I or Jp != J:
@@ -258,6 +299,12 @@ def mttkrp3_m2(V, A, B, tile_i: int = None, tile_j: int = None,
     )(V, A, B)
 
 
+# mttkrp3_m2 keeps the full (K, R) f32 accumulator resident in VMEM for
+# the whole grid alongside the ~2 MiB V block; bound it so the resident
+# set stays well inside the ~128 MiB v5e VMEM.
+_M2_RESIDENT_BYTES = 8 << 20
+
+
 def mttkrp3_mode(V, factors, mode: int, tile_i: int = None,
                  interpret: bool = False):
     """Fused order-3 MTTKRP for any mode in ONE pass over V's native
@@ -270,6 +317,12 @@ def mttkrp3_mode(V, factors, mode: int, tile_i: int = None,
     if mode == 1:
         return mttkrp3_m1(V, factors[0], factors[2], tile_i=tile_i,
                           interpret=interpret)
+    K, R = V.shape[2], factors[0].shape[1]
+    if K * R * 4 > _M2_RESIDENT_BYTES:
+        # resident (K, R) output would not fit VMEM: fall back to the
+        # transposed-copy path (one extra HBM pass, but tiled output).
+        return mttkrp3(jnp.moveaxis(V, 2, 0), factors[0], factors[1],
+                       tile_i=tile_i, interpret=interpret)
     return mttkrp3_m2(V, factors[0], factors[1], tile_i=tile_i,
                       interpret=interpret)
 
@@ -311,7 +364,8 @@ def _mid_kernel(wt_ref, v_ref, o_ref):
     # native (M, K) x (K, N) orientation — the V block streams from HBM
     # straight into the MXU with no VMEM relayout.
     g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(v_ref.dtype))
     o_ref[0] = g.astype(o_ref.dtype)               # (R, L)
 
 
@@ -321,7 +375,8 @@ def _mid_kernel_zp(wt_ref, v_ref, o_ref):
     # batch-dim position for the consuming dots, so downstream tail
     # contractions read it with no relayout.
     g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(v_ref.dtype))
     o_ref[:, 0, :] = g.astype(o_ref.dtype)
 
 
@@ -332,7 +387,8 @@ def _mid_kernel_t(wt_ref, v_ref, o_ref):
     # layout barrier), so a 110 MB post-hoc transpose costs ~12 ms; this
     # per-step ~128 KB relayout replaces it.
     g = jax.lax.dot_general(wt_ref[:], v_ref[0], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_dot_prec(v_ref.dtype))
     o_ref[0] = g.T.astype(o_ref.dtype)             # (L, R)
 
 
@@ -449,7 +505,8 @@ def mid_contract(V, W, mode: int, interpret: bool = False,
 
 def _last_kernel(v_ref, w_ref, o_ref):
     o_ref[:] = jnp.dot(v_ref[:], w_ref[:],
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                       preferred_element_type=jnp.float32,
+                       precision=_dot_prec(v_ref.dtype)).astype(o_ref.dtype)
 
 
 def _last_tile(N: int, B: int) -> int:

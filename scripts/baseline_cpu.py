@@ -87,15 +87,74 @@ def np_normalize(Ws):
     return [W * (target / n) for W, n in zip(Ws, norms)]
 
 
+def _binary_parent_map(order):
+    parent = {}
+
+    def rec(lo, hi):
+        if lo == hi:
+            return
+        mid = (lo + hi) // 2
+        parent[(lo, mid)] = (lo, hi)
+        parent[(mid + 1, hi)] = (lo, hi)
+        rec(lo, mid)
+        rec(mid + 1, hi)
+    rec(0, order - 1)
+    return parent
+
+
+class NpBinaryTreeSweep:
+    """numpy mirror of the framework's lazy binary dimension tree — the
+    baseline gets the SAME per-sweep FLOP structure (two first-level
+    chains per sweep, prefix reuse) so the comparison is algorithmically
+    fair (mttkrp_map_DT, common.cxx:20-133)."""
+
+    def __init__(self, V, Ws, priority):
+        self.V, self.Ws, self.priority = V, list(Ws), priority
+        self.order = V.ndim
+        self.parent = _binary_parent_map(self.order)
+        self.memo = {}
+        self.letters = "abcdefgh"[:self.order]
+
+    def _contract_one(self, T, rem, has_rank, m):
+        pos = rem.index(m)
+        k = len(rem)
+        t_spec = self.letters[:k] + ("z" if has_rank else "")
+        out = self.letters[:pos] + self.letters[pos + 1:k] + "z"
+        T2 = np.einsum(f"{t_spec},{self.letters[pos]}z->{out}", T,
+                       self.Ws[m], optimize=True)
+        return T2, rem[:pos] + rem[pos + 1:]
+
+    def node(self, lo, hi):
+        key = (lo, hi)
+        if key in self.memo:
+            return self.memo[key]
+        plo, phi = self.parent[key]
+        if (plo, phi) == (0, self.order - 1):
+            T, rem, has_rank = self.V, list(range(self.order)), False
+        else:
+            T = self.node(plo, phi)
+            rem, has_rank = list(range(plo, phi + 1)), True
+        to_contract = [m for m in self.priority
+                       if plo <= m <= phi and not lo <= m <= hi]
+        for m in to_contract:
+            T, rem = self._contract_one(T, rem, has_rank, m)
+            has_rank = True
+        self.memo[key] = T
+        return T
+
+    def mttkrp(self, i):
+        return self.node(i, i)
+
+
 def np_dt_sweep(V, Ws, priority, lam=0.0):
-    Ws = [W.copy() for W in Ws]
+    sweep = NpBinaryTreeSweep(V, Ws, priority)
     grads = [None] * V.ndim
     for i in range(V.ndim):
-        M = np_mttkrp_chain(V, Ws, i, priority)
-        S = np_S(Ws, i, lam)
-        grads[i] = -M + Ws[i] @ S
-        Ws[i] = M @ np.linalg.pinv(S)
-    return np_normalize(Ws), grads
+        M = sweep.mttkrp(i)
+        S = np_S(sweep.Ws, i, lam)
+        grads[i] = -M + sweep.Ws[i] @ S
+        sweep.Ws[i] = M @ np.linalg.pinv(S)
+    return np_normalize(sweep.Ws), grads
 
 
 def np_build_pp_caches(V, Ws, priority):
@@ -264,8 +323,40 @@ def np_factor_from_Y(Y, i, r):
     return U
 
 
+class NpTuckerTree:
+    """numpy mirror of the Tucker binary TTMc tree (ttmc_map_DT,
+    als_Tucker.cxx:178-230): node (lo, hi) = V with every mode outside
+    [lo, hi] contracted with its factor, axis positions preserved."""
+
+    def __init__(self, V, Ws, priority):
+        self.V, self.Ws, self.priority = V, list(Ws), priority
+        self.order = V.ndim
+        self.parent = _binary_parent_map(self.order)
+        self.memo = {}
+
+    def _contract_one(self, T, m):
+        letters = "abcdefgh"[:T.ndim]
+        spec = f"{letters},{letters[m]}z->" \
+               f"{letters[:m]}z{letters[m + 1:]}"
+        return np.einsum(spec, T, self.Ws[m], optimize=True)
+
+    def node(self, lo, hi):
+        key = (lo, hi)
+        if key in self.memo:
+            return self.memo[key]
+        plo, phi = self.parent[key]
+        T = self.V if (plo, phi) == (0, self.order - 1) \
+            else self.node(plo, phi)
+        for m in [m for m in self.priority
+                  if plo <= m <= phi and not lo <= m <= hi]:
+            T = self._contract_one(T, m)
+        self.memo[key] = T
+        return T
+
+
 def run_tucker(V, ranks, maxiter, plot, target=None, timelimit=1e9):
     V_norm_sq = float(np.vdot(V, V))
+    priority = tuple(sorted(range(V.ndim), key=lambda m: (-V.shape[m], m)))
     # HOSVD init
     t_work = 0.0
     t0 = time.perf_counter()
@@ -289,9 +380,11 @@ def run_tucker(V, ranks, maxiter, plot, target=None, timelimit=1e9):
         if t_work > timelimit:
             break
         t0 = time.perf_counter()
+        tree = NpTuckerTree(V, Ws, priority)
         for i in range(V.ndim):
-            Y = np_ttmc(V, Ws, i)
-            Ws[i] = np_factor_from_Y(Y, i, ranks[i])
+            Y = tree.node(i, i)
+            tree.Ws[i] = np_factor_from_Y(Y, i, ranks[i])
+        Ws = tree.Ws
         t_work += time.perf_counter() - t0
         it += 1
     return dict(hist=hist, final_fitness=hist[-1]["diffV"],

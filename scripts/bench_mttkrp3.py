@@ -59,98 +59,90 @@ def main():
                     print(f"   -> {gb/dt:.0f} GB/s")
 
 
-def main_modes_fast():
-    """Only the new fused mode kernels + full-sweep dispatch (XLA and
-    transposed-copy reference timings already recorded in
-    results/BENCH_full_manual.json; remote compiles are ~1 min each, so
-    keep the compile count minimal)."""
-    from pairwise_perturbation_tpu.ops.kernels.mttkrp_pallas import (
-        mttkrp3_m1, mttkrp3_m2, mttkrp3_mode)
+_MODE_SPECS = {1: "ijk,iZ,kZ->jZ", 2: "ijk,iZ,jZ->kZ"}
+
+
+def _mode_fixtures(s):
+    keys = jax.random.split(jax.random.PRNGKey(s), 4)
+    V = jax.random.uniform(keys[0], (s, s, s), dtype=jnp.float32)
+    Ws = [jax.random.uniform(k, (s, 10), dtype=jnp.float32)
+          for k in keys[1:]]
+    pull(V)
+    return V, Ws, V.size * 4 / 1e9
+
+
+def _run_mode_variants(s, V, Ws, gb, variants):
+    """Check-and-time each (name, builder) variant for modes 1 and 2.
+
+    ``builder(V, mode, others)`` returns a zero-arg callable; every
+    variant is parity-checked against the XLA einsum (f32
+    accumulation-order differences only) before timing.
+    """
     import numpy as np
-    print("device:", jax.devices()[0])
-    for s in (200, 512):
-        keys = jax.random.split(jax.random.PRNGKey(s), 4)
-        V = jax.random.uniform(keys[0], (s, s, s), dtype=jnp.float32)
-        Ws = [jax.random.uniform(k, (s, 10), dtype=jnp.float32)
-              for k in keys[1:]]
-        pull(V)
-        gb = V.size * 4 / 1e9
-        for mode, fused in ((1, mttkrp3_m1), (2, mttkrp3_m2)):
-            others = [Ws[m] for m in range(3) if m != mode]
-            want = np.asarray(jnp.einsum(
-                ["ijk,iZ,kZ->jZ", "ijk,iZ,jZ->kZ"][mode - 1], V, *others))
-            got = np.asarray(fused(V, *others))
-            err = np.abs(got - want).max() / np.abs(want).max()
-            assert err < 1e-3, (mode, err)
-            dt = timeit(f"s={s} mode={mode} fused-native",
-                        lambda: fused(V, *others), n=30)
+    for mode in (1, 2):
+        others = [Ws[m] for m in range(3) if m != mode]
+        ref = np.asarray(jnp.einsum(_MODE_SPECS[mode], V, *others))
+        for name, builder in variants:
+            fn = builder(V, mode, others)
+            out = np.asarray(fn())
+            err = np.abs(out - ref).max() / np.abs(ref).max()
+            assert err < 1e-3, (mode, name, err)
+            dt = timeit(f"s={s} mode={mode} {name}", fn, n=30)
             if dt:
                 print(f"   -> {gb/dt:.0f} GB/s")
 
-        def sweep3(V, *Ws):
-            outs = [mttkrp3_mode(V, list(Ws), m) for m in range(3)]
-            return sum(o.sum() for o in outs).reshape(1, 1)
-        f = jax.jit(sweep3)
-        timeit(f"s={s} 3-mode dispatch (fused)", lambda: f(V, *Ws), n=30)
+
+def _time_sweep_dispatch(s, V, Ws):
+    """Whole-sweep proxy: 3 MTTKRPs through the mode dispatcher."""
+    from pairwise_perturbation_tpu.ops.kernels.mttkrp_pallas import \
+        mttkrp3_mode
+
+    def sweep3(V, *Ws):
+        outs = [mttkrp3_mode(V, list(Ws), m) for m in range(3)]
+        return sum(o.sum() for o in outs).reshape(1, 1)
+    f = jax.jit(sweep3)
+    timeit(f"s={s} 3-mode dispatch (fused)", lambda: f(V, *Ws), n=30)
 
 
-def main_modes():
-    """Per-mode comparison: XLA chain vs transposed-copy kernel vs the
-    mode-specialized kernels (native-layout single pass)."""
+def main_modes(fast: bool = False):
+    """Per-mode comparison for the middle/minor-mode kernels.
+
+    ``fast``: only the fused-native kernels + sweep dispatch (XLA and
+    transposed-copy reference timings already recorded; remote compiles
+    are ~1 min each, so keep the compile count minimal).
+    """
     from pairwise_perturbation_tpu.ops.kernels.mttkrp_pallas import (
-        mttkrp3_m1, mttkrp3_m2, mttkrp3_mode)
-    import numpy as np
+        mttkrp3, mttkrp3_m1, mttkrp3_m2)
     print("device:", jax.devices()[0])
+
+    def xla_builder(V, mode, others):
+        f = jax.jit(lambda V, A, B: jnp.einsum(
+            _MODE_SPECS[mode], V, A, B, optimize=True))
+        return lambda: f(V, *others)
+
+    def transposed_builder(V, mode, others):
+        def f(V, A, B):
+            perm = (mode,) + tuple(m for m in range(3) if m != mode)
+            return mttkrp3(jnp.transpose(V, perm), A, B)
+        fj = jax.jit(f)
+        return lambda: fj(V, *others)
+
+    def fused_builder(V, mode, others):
+        fused = mttkrp3_m1 if mode == 1 else mttkrp3_m2
+        return lambda: fused(V, *others)
+
+    variants = [("fused-native", fused_builder)] if fast else [
+        ("XLA", xla_builder),
+        ("transposed-kernel", transposed_builder),
+        ("fused-native", fused_builder),
+    ]
     for s in (200, 512):
-        keys = jax.random.split(jax.random.PRNGKey(s), 4)
-        V = jax.random.uniform(keys[0], (s, s, s), dtype=jnp.float32)
-        Ws = [jax.random.uniform(k, (s, 10), dtype=jnp.float32)
-              for k in keys[1:]]
-        pull(V)
-        gb = V.size * 4 / 1e9
-
-        def xla(mode):
-            specs = ["ijk,iZ,kZ->jZ", "ijk,iZ,jZ->kZ"]
-            return jax.jit(lambda V, A, B: jnp.einsum(
-                specs[mode - 1], V, A, B, optimize=True))
-
-        def transposed(mode):
-            def f(V, *Ws):
-                perm = (mode,) + tuple(m for m in range(3) if m != mode)
-                Vt = jnp.transpose(V, perm)
-                others = [Ws[m] for m in range(3) if m != mode]
-                from pairwise_perturbation_tpu.ops.kernels.mttkrp_pallas \
-                    import mttkrp3
-                return mttkrp3(Vt, others[0], others[1])
-            return jax.jit(f)
-
-        for mode, fused in ((1, mttkrp3_m1), (2, mttkrp3_m2)):
-            others = [Ws[m] for m in range(3) if m != mode]
-            fx, ft = xla(mode), transposed(mode)
-            ref = None
-            for name, fn in (
-                    ("XLA", lambda: fx(V, *others)),
-                    ("transposed-kernel", lambda: ft(V, *Ws)),
-                    ("fused-native", lambda: fused(V, *others))):
-                dt = timeit(f"s={s} mode={mode} {name}", fn, n=30)
-                if dt:
-                    print(f"   -> {gb/dt:.0f} GB/s")
-                out = np.asarray(fn())
-                if ref is None:
-                    ref = out
-                else:  # f32 accumulation-order differences only
-                    err = np.abs(out - ref).max() / np.abs(ref).max()
-                    assert err < 1e-3, (mode, name, err)
-        # whole-sweep proxy: 3 MTTKRPs through the dispatcher
-        def sweep3(V, *Ws):
-            outs = [mttkrp3_mode(V, list(Ws), m) for m in range(3)]
-            return sum(o.sum() for o in outs)
-        f = jax.jit(sweep3)
-        timeit(f"s={s} 3-mode dispatch (fused)",
-               lambda: f(V, *Ws).reshape(1, 1), n=30)
+        V, Ws, gb = _mode_fixtures(s)
+        _run_mode_variants(s, V, Ws, gb, variants)
+        _time_sweep_dispatch(s, V, Ws)
 
 
 if __name__ == "__main__":
     import sys
-    (main_modes_fast() if "--modes-fast" in sys.argv
+    (main_modes(fast=True) if "--modes-fast" in sys.argv
      else main_modes() if "--modes" in sys.argv else main())

@@ -1,0 +1,102 @@
+"""Non-interpret Pallas parity on real TPU hardware.
+
+Covers the ADVICE round-1 findings: ragged shapes (e.g. (13, 20, 17))
+must compile under Mosaic now that block sublane tiles are aligned, and
+the bf16 kernels must match the mixed-precision einsum reference within
+bf16 rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pairwise_perturbation_tpu.ops import contract
+from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
+
+
+def _ref_mttkrp(V, Ws, mode):
+    # pure-XLA reference at HIGHEST precision
+    return np.asarray(contract.mttkrp(
+        jnp.asarray(V), [jnp.asarray(W) for W in Ws], mode,
+        use_pallas=False))
+
+
+SHAPES = [
+    (64, 64, 64),      # aligned
+    (13, 20, 17),      # ragged everywhere (the ADVICE repro shape)
+    (200, 200, 200),   # the BASELINE minimum-slice config
+    (7, 130, 33),      # ragged + non-multiple J
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_mttkrp3_f32_parity(shape, mode):
+    rng = np.random.default_rng(0)
+    R = 10
+    V = rng.standard_normal(shape).astype(np.float32)
+    Ws = [rng.standard_normal((s, R)).astype(np.float32) for s in shape]
+    ref = _ref_mttkrp(V, Ws, mode)
+    out = np.asarray(mttkrp_pallas.mttkrp3_mode(
+        jnp.asarray(V), [jnp.asarray(W) for W in Ws], mode))
+    assert out.shape == ref.shape
+    # scale-relative: kernel and XLA chain accumulate in different orders
+    # (both are within ~2e-6 of f64 truth at 200^3; the old 2.5e-3
+    # DEFAULT-precision bug fails this at 100x margin)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-5)
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 64), (13, 20, 17)])
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_mttkrp3_bf16_parity(shape, mode):
+    rng = np.random.default_rng(1)
+    R = 8
+    V = rng.standard_normal(shape).astype(np.float32)
+    Ws = [rng.standard_normal((s, R)).astype(np.float32) for s in shape]
+    Vb = jnp.asarray(V).astype(jnp.bfloat16)
+    ref = _ref_mttkrp(V, Ws, mode)
+    out = np.asarray(mttkrp_pallas.mttkrp3_mode(
+        Vb, [jnp.asarray(W) for W in Ws], mode))
+    assert out.dtype == np.float32
+    # bf16 inputs: ~8-bit mantissa rounding relative to the f32 reference
+    scale = np.maximum(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-2)
+
+
+def test_m2_vmem_guard_fallback():
+    # K*R beyond the resident-output budget must route to the
+    # transposed-copy path and still be correct.
+    rng = np.random.default_rng(2)
+    R = 16
+    old = mttkrp_pallas._M2_RESIDENT_BYTES
+    mttkrp_pallas._M2_RESIDENT_BYTES = 1 << 10  # force the fallback
+    try:
+        shape = (24, 24, 64)
+        V = rng.standard_normal(shape).astype(np.float32)
+        Ws = [rng.standard_normal((s, R)).astype(np.float32) for s in shape]
+        ref = _ref_mttkrp(V, Ws, 2)
+        out = np.asarray(mttkrp_pallas.mttkrp3_mode(
+            jnp.asarray(V), [jnp.asarray(W) for W in Ws], 2))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out / scale, ref / scale, atol=3e-5)
+    finally:
+        mttkrp_pallas._M2_RESIDENT_BYTES = old
+
+
+def test_mid_contract_parity():
+    rng = np.random.default_rng(3)
+    shape = (8, 128, 1024)  # eligible: B=128, M=1024*? -> M=1024... needs M>=2^15
+    # use an eligible shape: mode 1 of (8, 128, 32768) merged M = 32768
+    shape = (4, 128, 256, 128)
+    V = rng.standard_normal(shape).astype(np.float32)
+    W = rng.standard_normal((shape[1], 10)).astype(np.float32)
+    if not mttkrp_pallas.mid_contract_eligible(shape, 1, jnp.float32, 10):
+        pytest.skip("shape not eligible for mid_contract")
+    out = np.asarray(mttkrp_pallas.mid_contract(jnp.asarray(V),
+                                                jnp.asarray(W), 1))
+    ref = np.asarray(contract.contract_mode_kr(
+        jnp.asarray(V), (0, 1, 2, 3), False, jnp.asarray(W), 1)[0])
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=3e-5)
