@@ -200,10 +200,10 @@ def pp_partupdate_sweep(single, pair, Ws, W_init, dWs, dMs, Ms, ms_set,
                     dMs2.append(jnp.zeros_like(dMs[b]))
                 elif ii < b:
                     dMs2.append(dMs[ii] + contract._einsum(
-                        "abZ,bZ->aZ", pair[(ii, b)], dWb))
+                        "Zab,bZ->aZ", pair[(ii, b)], dWb))
                 else:
                     dMs2.append(dMs[ii] + contract._einsum(
-                        "abZ,aZ->bZ", pair[(b, ii)], dWb))
+                        "Zab,aZ->bZ", pair[(b, ii)], dWb))
             ms_set2 = ms_set.at[b].set(True)
             return (Ws2, dWs2, tuple(dMs2), Ms2, ms_set2, grads2)
         return branch

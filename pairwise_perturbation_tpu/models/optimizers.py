@@ -507,10 +507,20 @@ class CPD(Decomposition):
                                     diffV=diffV, dtime=dtime))
                 if self.gradnorm < tol or dtime > timelimit:
                     break
-            if macro and hasattr(self.optimizer, "step_cycle"):
-                sweeps += self.optimizer.step_cycle()
+            from pairwise_perturbation_tpu.utils import tracing
+            name = type(self.optimizer).__name__
+            macro_step = macro and hasattr(self.optimizer, "step_cycle")
+            fn = self.optimizer.step_cycle if macro_step \
+                else self.optimizer.step
+            if tracing.enabled():
+                # sync on the updated factors, not the float return value
+                import jax as _jax
+                with tracing.timer(f"{name}.{'step_cycle' if macro_step else 'step'}"):
+                    ds = fn()
+                    _jax.block_until_ready(self.optimizer.W)
+                sweeps += ds
             else:
-                sweeps += self.optimizer.step()
+                sweeps += fn()
             self.W = self.optimizer.W
             iters += 1
         self.history = history

@@ -296,6 +296,41 @@ def chain_root_modes_dt(shape) -> Tuple[int, ...]:
     return tuple(sorted(roots))
 
 
+def _first_contraction_rm(V, layouts, factor, mode: int, precision=None):
+    """First-level contraction producing a RANK-MAJOR intermediate
+    (R, remaining modes ascending). Multi-consumer chain intermediates are
+    materialized by XLA in row-major layout; with rank minor a (..., R)
+    tensor pads R -> 128 lanes (12.8x HBM for R = 10), so the PP cache
+    chains keep rank major-most throughout."""
+    order = V.ndim
+    rem = tuple(m for m in range(order) if m != mode)
+    if layouts and mode in layouts:
+        Vp = layouts[mode]  # axes: rem ascending + mode minor
+        k = Vp.ndim
+        letters = _MODES[:k]
+        spec = f"{letters},{letters[k-1]}{_RANK}->{_RANK}{letters[:k-1]}"
+        return _einsum(spec, Vp, factor, precision=precision), rem
+    letters = _MODES[:order]
+    out = letters[:mode] + letters[mode + 1:]
+    spec = f"{letters},{letters[mode]}{_RANK}->{_RANK}{out}"
+    return _einsum(spec, V, factor, precision=precision), rem
+
+
+def _contract_mode_kr_rm(T, rem_modes: Tuple[int, ...], factor, mode: int,
+                         precision=None):
+    """One Khatri-Rao chain step on a rank-major intermediate
+    (R, rem_modes...) -> (R, rem_modes without mode)."""
+    pos = rem_modes.index(mode)
+    k = len(rem_modes)
+    letters = _MODES[:k]
+    t_spec = _RANK + letters
+    f_spec = letters[pos] + _RANK
+    out_spec = _RANK + letters[:pos] + letters[pos + 1:]
+    out = _einsum(f"{t_spec},{f_spec}->{out_spec}", T, factor,
+                  precision=precision)
+    return out, rem_modes[:pos] + rem_modes[pos + 1:]
+
+
 def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
                     use_pallas: bool = None, interpret: bool = None):
     """Build all PP caches: pair tensors T_{ij}[s_i, s_j, R] for i<j and
@@ -314,21 +349,32 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
     """
     order = V.ndim
     priority = contraction_priority(V.shape)
-    memo: Dict[Tuple[int, ...], Tuple] = {(): (V, tuple(range(order)), False)}
+    # The whole chain runs RANK-MAJOR (R leading): chain intermediates
+    # have multiple consumers, so XLA materializes them in row-major
+    # layout — with rank minor a (..., R) tensor pads R -> 128 lanes
+    # (12.8x physical HBM for R = 10; measured as both the cache-build
+    # tail cost and most of the 1.1-2.0 ms PP sweep). Rank-major keeps a
+    # large mode on lanes (~1.01x padding) and is the natural batch
+    # layout for the downstream correction dots.
+    memo: Dict[Tuple[int, ...], Tuple] = {}
 
     def get(key: Tuple[int, ...]):
         if key not in memo:
             if len(key) == 1:
-                T2, rem2 = first_contraction(V, layouts, factors[key[0]],
-                                             key[0], precision=precision,
-                                             use_pallas=use_pallas,
-                                             interpret=interpret)
+                m = key[0]
+                if use_pallas:  # experimental: rank-last kernel + relayout
+                    T2, rem2 = first_contraction(
+                        V, layouts, factors[m], m, precision=precision,
+                        use_pallas=use_pallas, interpret=interpret)
+                    T2 = jnp.moveaxis(T2, -1, 0)
+                else:
+                    T2, rem2 = _first_contraction_rm(
+                        V, layouts, factors[m], m, precision=precision)
             else:
-                T, rem, has_rank = get(key[:-1])
-                T2, rem2 = contract_mode_kr(T, rem, has_rank,
-                                            factors[key[-1]], key[-1],
-                                            precision=precision)
-            memo[key] = (T2, rem2, True)
+                T, rem = get(key[:-1])
+                T2, rem2 = _contract_mode_kr_rm(T, rem, factors[key[-1]],
+                                                key[-1], precision=precision)
+            memo[key] = (T2, rem2)
         return memo[key]
 
     pair = {}
@@ -336,12 +382,12 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
         for j in range(i + 1, order):
             key = order_by_priority(
                 (m for m in range(order) if m not in (i, j)), priority)
-            pair[(i, j)] = get(key)[0]
+            pair[(i, j)] = get(key)[0]          # already (R, s_i, s_j)
     single = {}
     for i in range(order):
         key = order_by_priority(
             (m for m in range(order) if m != i), priority)
-        single[i] = get(key)[0]
+        single[i] = jnp.transpose(get(key)[0])  # (s_i, R) for the solves
     return single, pair
 
 
@@ -350,7 +396,8 @@ def pp_correct_mttkrp(single_i, pair, dWs: Sequence, i: int, precision=None):
 
     M~_i = M_i + sum_{j<i} T_{ji} x_j dW_j + sum_{j>i} T_{ij} x_j dW_j
 
-    Reference: als_CP.cxx:778-794. ``pair[(a, b)]`` has axes (s_a, s_b, R).
+    Reference: als_CP.cxx:778-794. ``pair[(a, b)]`` is RANK-MAJOR with
+    axes (R, s_a, s_b) — see :func:`build_pp_caches`.
     """
     order = len(dWs)
     M = single_i
@@ -358,10 +405,10 @@ def pp_correct_mttkrp(single_i, pair, dWs: Sequence, i: int, precision=None):
         if j == i:
             continue
         if j < i:
-            M = M + _einsum("abZ,aZ->bZ", pair[(j, i)], dWs[j],
+            M = M + _einsum("Zab,aZ->bZ", pair[(j, i)], dWs[j],
                             precision=precision)
         else:
-            M = M + _einsum("abZ,bZ->aZ", pair[(i, j)], dWs[j],
+            M = M + _einsum("Zab,bZ->aZ", pair[(i, j)], dWs[j],
                             precision=precision)
     return M
 

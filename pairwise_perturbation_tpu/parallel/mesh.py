@@ -193,8 +193,9 @@ def constrained_pp_caches(V, Ws: Sequence, layout: ShardedLayout):
     mesh = layout.mesh
 
     def spec_for_pair(i, j):
-        return NamedSharding(mesh, P(layout.mode_axis.get(i),
-                                     layout.mode_axis.get(j), None))
+        # caches are rank-major (R, s_i, s_j) — replicate the rank axis
+        return NamedSharding(mesh, P(None, layout.mode_axis.get(i),
+                                     layout.mode_axis.get(j)))
 
     def spec_for_single(i):
         return NamedSharding(mesh, P(layout.mode_axis.get(i), None))

@@ -8,8 +8,11 @@ Measures, on the real chip:
    consumed directly by batched-Z chain tails, converting only the final
    (R, s) matrices
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +27,8 @@ from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas as mp
 
 
 def pull(x):
-    return np.asarray(x.ravel()[:1])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf.ravel()[:1])
 
 
 def timeit(name, fn, n=20):
@@ -53,6 +57,7 @@ def main():
         "timelapse": (33, 9, 1344, 1024),
     }
     which = sys.argv[1] if len(sys.argv) > 1 else "coil"
+    only_build = "--build-only" in sys.argv
     shape = shapes[which]
     R = 10
     key = jax.random.PRNGKey(0)
@@ -62,14 +67,40 @@ def main():
           for k, s in zip(kws, shape)]
     pull(V)
     gb = V.size * 4 / 1e9
-    print(f"{which} {shape}  V = {gb:.2f} GB  (1-pass SOL ~ {gb/0.8*1e3:.1f}"
+    print(f"{which} {shape}  V = {gb:.2f} GB  (1-pass SOL ~ {gb/800*1e3:.2f}"
           " ms at 800 GB/s)", flush=True)
 
-    # 1. current build
+    # 1. current build + steady-state PP sweep
+    lam = jnp.asarray(0.0, dtype=jnp.float32)
     for vd, tag in ((V, "f32"), (V.astype(jnp.bfloat16), "bf16")):
         b = jax.jit(lambda V, Ws: contract.build_pp_caches(V, list(Ws)))
         timeit(f"build_pp_caches {tag} (current)", lambda: b(vd, Ws))
+        single, pair = b(vd, Ws)
+        W_init = [w for w in Ws]
+        dWs = [jnp.zeros_like(w) for w in Ws]
+        st = {"Ws": list(Ws), "dWs": dWs}
 
+        def ppsweep():
+            Ws2, dWs2, _ = cp.pp_sweep(single, pair, st["Ws"], W_init,
+                                       st["dWs"], lam, 1.0, solver="svd")
+            st["Ws"], st["dWs"] = Ws2, dWs2
+            return Ws2[0]
+        timeit(f"pp_sweep {tag}", ppsweep, n=50)
+
+    # 1b. build with precomputed mode-minor layouts (memory-for-bandwidth:
+    # every chain root becomes a minor-dim GEMM)
+    roots_pp = contract.chain_root_modes_pp(shape)
+    for vd, tag in ((V, "f32"), (V.astype(jnp.bfloat16), "bf16")):
+        layouts = jax.jit(lambda V: contract.prepare_layouts(
+            V, roots_pp))(vd)
+        pull(layouts)
+        bl = jax.jit(lambda V, Ws, L: contract.build_pp_caches(
+            V, list(Ws), layouts=L))
+        timeit(f"build_pp_caches {tag} (layouts)",
+               lambda: bl(vd, Ws, layouts))
+
+    if only_build:
+        return
     # 2. per-root first contraction
     pr = contract.contraction_priority(shape)
     roots = sorted(set(contract.chain_root_modes_pp(shape)))

@@ -95,7 +95,7 @@ def main():
                 name = f"real_{dataset}_cp_pp{pp}_rt{rt}_{tag}"
                 Ws = cp.init_factors(V.shape, R, dtype=jnp.float32)
                 cfg = cp.CPConfig(tol=1e-10 * Vnorm, pp_res_tol=rt,
-                                  maxiter=maxiter, resprint=1,
+                                  maxiter=maxiter, resprint=10,
                                   solver="svd")
                 plot = PlotFile(f"results/{name}.csv", PlotFile.CP_HEADER,
                                 echo=False)
@@ -111,7 +111,7 @@ def main():
         for rt in ([0.5] if pp == 0 else [0.1, 0.5]):
             name = f"real_{dataset}_tucker_pp{pp}_rt{rt}"
             cfg = tucker.TuckerConfig(tol=1e-10 * Vnorm, pp_res_tol=rt,
-                                      maxiter=maxiter, resprint=1)
+                                      maxiter=maxiter, resprint=5)
             plot = PlotFile(f"results/{name}.csv", PlotFile.TUCKER_HEADER,
                             echo=False)
             if pp == 0:

@@ -58,8 +58,8 @@ def test_partial_mttkrp_and_pp_caches(rng):
                     continue
                 terms.append(letters[m] + "z")
                 ops.append(Ws[m])
-            want = np.einsum(",".join(terms) + "->" + letters[i] + letters[j] + "z",
-                             *ops)
+            want = np.einsum(",".join(terms) + "->z" + letters[i] + letters[j],
+                             *ops)  # caches are rank-major (R, s_i, s_j)
             np.testing.assert_allclose(np.asarray(pair[(i, j)]), want, rtol=1e-10)
 
 

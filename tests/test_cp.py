@@ -205,10 +205,10 @@ def test_pp_partupdate_sweep_device_matches_host_loop(rng):
                 a, b = min(i, ii), max(i, ii)
                 cache = pair[(a, b)]
                 if ii < i:
-                    hdMs[ii] = hdMs[ii] + jnp.einsum("abZ,bZ->aZ", cache,
+                    hdMs[ii] = hdMs[ii] + jnp.einsum("Zab,bZ->aZ", cache,
                                                      hdWs[i])
                 else:
-                    hdMs[ii] = hdMs[ii] + jnp.einsum("abZ,aZ->bZ", cache,
+                    hdMs[ii] = hdMs[ii] + jnp.einsum("Zab,aZ->bZ", cache,
                                                      hdWs[i])
         for i in range(order):
             if hMs[i] is not None:

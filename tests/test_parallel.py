@@ -97,7 +97,8 @@ def test_constrained_pp_caches_match_unconstrained(rng):
         got = np.asarray(single_c[i])[:shape[i], :]
         np.testing.assert_allclose(got, np.asarray(single_p[i]), rtol=1e-9)
     for (i, j) in pair_p:
-        got = np.asarray(pair_c[(i, j)])[:shape[i], :shape[j], :]
+        # rank-major caches: (R, s_i, s_j)
+        got = np.asarray(pair_c[(i, j)])[:, :shape[i], :shape[j]]
         np.testing.assert_allclose(got, np.asarray(pair_p[(i, j)]),
                                    rtol=1e-9)
 

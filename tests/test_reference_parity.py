@@ -147,7 +147,9 @@ def test_pp_trajectory_parity(fixture):
         np.testing.assert_allclose(single_np[i], np.asarray(single_fw[i]),
                                    rtol=1e-8)
     for k in pair_np:
-        np.testing.assert_allclose(pair_np[k], np.asarray(pair_fw[k]),
+        # framework caches are rank-major (R, s_i, s_j)
+        np.testing.assert_allclose(pair_np[k],
+                                   np.asarray(pair_fw[k]).transpose(1, 2, 0),
                                    rtol=1e-8)
     dWs_np = [np.zeros_like(W) for W in Ws]
     dWs_fw = [jnp.zeros_like(jnp.asarray(W)) for W in Ws]
