@@ -285,13 +285,31 @@ def tucker_diagnostics(V_norm_sq, V, Ws, core_prev_norm):
 # ---------------------------------------------------------------------------
 
 
+# HOSVD factor extraction: exact eigh up to this Gram side; above it, a
+# randomized oversampled subspace iteration (deterministic key). XLA's
+# eigh at e.g. 7200^2 produces a compile-side blow-up (the coil-100 mode
+# 3 init was SIGKILLed in the TPU compile helper) and is O(s^3) anyway;
+# 4 subspace iterations at 2x oversampling recover the leading subspace
+# to init accuracy — HOOI self-corrects from there (the reference's
+# exact-HOSVD init, als_Tucker.cxx:66-70, differs only in this start).
+HOSVD_EXACT_EIGH_MAX = 4096
+
+
 @partial(jax.jit, static_argnames=("ranks",))
 def _hosvd_jit(V, *, ranks: Tuple[int, ...]):
     order = V.ndim
     Ws = []
     for i in range(order):
         G = contract.mode_gram(V, i)
-        U, _ = solve.truncated_eigh(G, ranks[i])
+        s_i = V.shape[i]
+        q = min(2 * ranks[i], s_i)
+        if s_i > HOSVD_EXACT_EIGH_MAX and q < s_i:
+            Q0 = jax.random.normal(jax.random.PRNGKey(17 + i), (s_i, q),
+                                   dtype=G.dtype)
+            U, _ = _topk_subspace(G, ranks[i], Q0, iters=4)
+            U = U[:, :ranks[i]]
+        else:
+            U, _ = solve.truncated_eigh(G, ranks[i])
         Ws.append(solve.fix_sign_columns(U))
     core = contract.ttmc(V, Ws, skip_mode=-1)
     return Ws, core

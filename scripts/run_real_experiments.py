@@ -66,6 +66,12 @@ def main():
         summary = json.load(open(out_path))
     os.makedirs("results", exist_ok=True)
 
+    def done(name):
+        if name in summary and "--overwrite" not in sys.argv:
+            print(f"[{name}] already recorded, skipping", flush=True)
+            return True
+        return False
+
     def record(name, res, kind):
         hist = res.history
         entry = dict(
@@ -93,6 +99,8 @@ def main():
             restols = [0.1] if pp == 0 else [0.05, 0.1]
             for rt in restols:
                 name = f"real_{dataset}_cp_pp{pp}_rt{rt}_{tag}"
+                if done(name):
+                    continue
                 Ws = cp.init_factors(V.shape, R, dtype=jnp.float32)
                 cfg = cp.CPConfig(tol=1e-10 * Vnorm, pp_res_tol=rt,
                                   maxiter=maxiter, resprint=10,
@@ -110,6 +118,8 @@ def main():
     for pp in (0, 1):
         for rt in ([0.5] if pp == 0 else [0.1, 0.5]):
             name = f"real_{dataset}_tucker_pp{pp}_rt{rt}"
+            if done(name):
+                continue
             cfg = tucker.TuckerConfig(tol=1e-10 * Vnorm, pp_res_tol=rt,
                                       maxiter=maxiter, resprint=5)
             plot = PlotFile(f"results/{name}.csv", PlotFile.TUCKER_HEADER,
