@@ -360,6 +360,13 @@ def als_tucker(V, ranks, cfg: TuckerConfig,
         Ws = [jnp.asarray(W) for W in Ws]
         core = contract.ttmc(V, Ws, skip_mode=-1)
     clock = clock or SweepClock()
+    from pairwise_perturbation_tpu.models.cp import warm_compile
+    with clock.exclude():
+        if use_tree:
+            warm_compile(tucker_dt_sweep, V, Ws, Ws, ranks=ranks,
+                         use_sign=False, subspace_iters=cfg.subspace_iters)
+        else:
+            warm_compile(tucker_hooi_sweep, V, Ws, ranks=ranks)
     history: list = []
     core_prev_norm = jnp.linalg.norm(core.ravel())
     diffnorm, diffV = float("inf"), float("inf")
@@ -390,6 +397,10 @@ def _tucker_dt_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
     """alsTucker_DT_sub (als_Tucker.cxx:476-669)."""
     order = V.ndim
     W_prev = [jnp.zeros_like(W) for W in Ws]
+    from pairwise_perturbation_tpu.models.cp import warm_compile
+    with clock.exclude():
+        warm_compile(tucker_dt_sweep, V, Ws, W_prev, ranks=ranks,
+                     use_sign=True, subspace_iters=cfg.subspace_iters)
     while state["iter"] <= cfg.maxiter:
         it = state["iter"]
         if (it % cfg.resprint == 0 and it != 0) or it == 1 or it == cfg.maxiter:
@@ -423,7 +434,18 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
     init_iter = state["iter"]
     W_init = None
     single = pair = None
-    from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+    from pairwise_perturbation_tpu.models.cp import factor_norm_ratios, \
+        warm_compile
+    with clock.exclude():
+        warm_compile(tucker_build_caches, V, Ws)
+        try:
+            sp = jax.eval_shape(tucker_build_caches, V, Ws)
+            ws_abs = [jax.ShapeDtypeStruct(w.shape, w.dtype) for w in Ws]
+            warm_compile(tucker_pp_sweep, sp[0], sp[1], ws_abs, ws_abs,
+                         ws_abs, ranks=ranks,
+                         subspace_iters=cfg.subspace_iters)
+        except Exception:
+            pass
     while state["iter"] <= cfg.maxiter:
         it = state["iter"]
         num_dw_break = 0
