@@ -281,7 +281,12 @@ def warm_compile(jfn, *args, **kwargs):
 
 def _diag_and_log(V_norm_sq, V, Ws, grads, clock, plot, it, tol, pp_flag,
                   history):
-    """Run diagnostics with excluded time, log a CSV row, return scalars."""
+    """Run diagnostics with excluded time, log a CSV row, return scalars.
+
+    Queued sweep work is synced BEFORE the excluded window opens:
+    otherwise the diagnostic pull absorbs the wait for all async-dispatched
+    sweeps and dtime undercounts the actual sweep cost."""
+    jax.block_until_ready(Ws)
     with clock.exclude():
         if grads is not None:
             gn, diffV = tracing.timed("cp.diagnostics", cp_diagnostics,

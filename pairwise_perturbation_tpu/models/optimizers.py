@@ -489,6 +489,8 @@ class CPD(Decomposition):
         from pairwise_perturbation_tpu.models.cp import cp_diagnostics
         while int(sweeps) <= maxsweep:
             if iters % resprint == 0 or sweeps >= maxsweep or sweeps == 0:
+                # sync queued steps BEFORE the excluded window (models/cp.py)
+                jax.block_until_ready(self.optimizer.W)
                 with clock.exclude():
                     W = self.optimizer.W
                     if getattr(self.optimizer, "grads", None):

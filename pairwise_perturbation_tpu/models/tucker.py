@@ -328,6 +328,8 @@ def hosvd(V, ranks: Sequence[int]):
 
 def _diag_and_log(V_norm_sq, V, Ws, core_prev_norm, clock, plot, it, tol,
                   pp_flag, history):
+    # sync queued sweeps BEFORE the excluded window (see models/cp.py)
+    jax.block_until_ready(Ws)
     with clock.exclude():
         core, cn, diffnorm, diffV = tracing.timed(
             "tucker.diagnostics", tucker_diagnostics,

@@ -103,8 +103,11 @@ def mttkrp(V, factors: Sequence, mode: int, precision=None,
     order = V.ndim
     if use_pallas is None:
         use_pallas = getattr(config.get(), "use_pallas", False)
-    if (use_pallas and order == 3
-            and V.dtype in (jnp.float32, jnp.bfloat16)
+    # bf16-stored V: the XLA chain is FASTER than the fused kernel
+    # (0.13 vs 0.21 ms at 200^3 on v5e — bf16 halves the intermediate's
+    # HBM cost, which was the kernel's whole advantage), so only f32
+    # routes to Pallas.
+    if (use_pallas and order == 3 and V.dtype == jnp.float32
             and jax.default_backend() != "cpu"):
         from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
         return mttkrp_pallas.mttkrp3_mode(V, factors, mode)
