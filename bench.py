@@ -33,17 +33,32 @@ CTF_BASELINE_SWEEPS_PER_SEC = 1.0  # fallback estimate (see module docstring)
 
 
 def _measured_baseline():
-    """(sweeps_per_sec, provenance) from the measured CPU baseline run."""
+    """(headline_sps, headline_src, measured_sps, measured_src).
+
+    The HEADLINE baseline is node-class-normalized: the reference ran CTF
+    on Stampede2 nodes (64 threads); the conservative estimate for a CTF
+    DT sweep on one such node is ~1 sweep/s (BASELINE.md). The locally
+    MEASURED numpy-f64 baseline runs on a 2-core host and is ~10x slower
+    than a node — honest as provenance, misleading as a headline — so
+    vs_baseline divides by max(measured, CTF-node estimate) and the
+    measured ratio is reported separately as vs_measured_host.
+    """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "baseline_cpu.json")
     try:
         data = json.load(open(path))
         sw = data["configs"]["coil_cp_dt"]["sweep_seconds"]
-        return 1.0 / sw, (f"measured: numpy-f64 DT sweep {sw:.3f}s/sweep "
-                          f"({data.get('note', '')})")
+        measured = 1.0 / sw
+        msrc = (f"measured: numpy-f64 DT sweep {sw:.3f}s/sweep "
+                f"({data.get('note', '')})")
     except Exception:
-        return CTF_BASELINE_SWEEPS_PER_SEC, \
-            "estimate: CTF 1-node ~1 sweep/s (no measured baseline file)"
+        measured, msrc = None, "no measured baseline file"
+    headline = max(measured or 0.0, CTF_BASELINE_SWEEPS_PER_SEC)
+    hsrc = ("node-class-normalized: CTF 1-node (64-thread Stampede2-class) "
+            "~1 sweep/s estimate; see BASELINE.md")
+    if headline == measured:
+        hsrc = msrc
+    return headline, hsrc, measured, msrc
 
 
 def _pull(x):
@@ -493,8 +508,8 @@ def main() -> int:
                           "vs_baseline": 0.0, "error": repr(e)[:400]}))
         return 1
 
-    base_sps, base_src = _measured_baseline()
-    print(json.dumps({
+    base_sps, base_src, measured_sps, measured_src = _measured_baseline()
+    out = {
         "metric": "cp_dt_sweeps_per_sec_coil100",
         "value": round(value, 4),
         "unit": "sweeps/s",
@@ -502,7 +517,11 @@ def main() -> int:
         "baseline_sweeps_per_sec": round(base_sps, 6),
         "baseline_source": base_src,
         **extra,
-    }))
+    }
+    if measured_sps:
+        out["vs_measured_host"] = round(value / measured_sps, 4)
+        out["measured_host_source"] = measured_src
+    print(json.dumps(out))
     return 0
 
 

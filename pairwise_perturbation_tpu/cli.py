@@ -329,8 +329,21 @@ def main(argv=None) -> int:
     if args.profile:
         from pairwise_perturbation_tpu.utils import tracing
         tracing.enable()
-    rc = {"test_als": cmd_test_als, "run": cmd_run,
-          "pp_bench": cmd_pp_bench}[cmd](args)
+    tracing_device = bool(args.profile and args.trace_dir)
+    if tracing_device:
+        # device-level trace (the CTF Timer_epoch analogue at XLA op
+        # granularity); view with xprof / tensorboard
+        import jax
+        jax.profiler.start_trace(args.trace_dir)
+    try:
+        rc = {"test_als": cmd_test_als, "run": cmd_run,
+              "pp_bench": cmd_pp_bench}[cmd](args)
+    finally:
+        if tracing_device:
+            import jax
+            jax.profiler.stop_trace()
+            if not args.quiet:
+                print(f"device trace written to {args.trace_dir}")
     if args.profile:
         from pairwise_perturbation_tpu.utils import tracing
         print("\n" + tracing.report())

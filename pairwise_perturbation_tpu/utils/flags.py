@@ -7,7 +7,8 @@ The reference parses single-dash long options with a hand-rolled scan
 -issparse -resprint -randomsvd -tol -pp_res_tol -lambda -magni -filename
 -tensorfile -colmin -colmax -rationoise -timelimit -maxiter
 
-plus TPU-native additions: -dtype, -mesh, -seed, -checkpoint, -engine.
+plus TPU-native additions: -dtype, -mesh, -seed, -checkpoint, -resume,
+-device_loop, -layouts, -profile, -trace_dir.
 Defaults and clamping follow test_ALS.cxx:64-196 / run.cxx:67-214.
 """
 

@@ -54,10 +54,13 @@ def timeit(name, fn, n=20):
 def main():
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
-    shape = (3, 128, 128, 7200)
+    shapes = {"coil": (3, 128, 128, 7200),
+              "timelapse": (33, 9, 1344, 1024)}
     name = sys.argv[1] if len(sys.argv) > 1 else "coil"
-    if name == "timelapse":
-        shape = (33, 9, 1344, 1024)
+    if name not in shapes:
+        raise SystemExit(f"unknown shape name {name!r}; "
+                         f"expected one of {sorted(shapes)}")
+    shape = shapes[name]
     R = 10
     rng = np.random.default_rng(0)
     V = jnp.asarray(rng.standard_normal(shape, dtype=np.float64),
@@ -83,7 +86,8 @@ def main():
         timeit(f"build_pp_caches {prec}", lambda: fb(V, list(Ws)), n=10)
 
     # accuracy vs f64 CPU oracle for one mid-mode root
-    m = [r for r in roots if r != len(shape) - 1][0]
+    mid_roots = [r for r in roots if r != len(shape) - 1]
+    m = mid_roots[0] if mid_roots else roots[0]
     cpus = jax.devices("cpu")
     with jax.default_device(cpus[0]):
         V64 = jnp.asarray(np.asarray(V), dtype=jnp.float64)
