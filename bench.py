@@ -126,6 +126,28 @@ def main() -> int:
         dt_sweep_time = _best_of(m_dt)
         sweeps_per_sec = 1.0 / dt_sweep_time
 
+        # native-planner root split (native/planner.cpp plan_tree_split):
+        # on coil's skewed shape the asymmetric tree saves ~20% FLOPs
+        from pairwise_perturbation_tpu import native as ppnative
+        split, _fl = ppnative.plan_tree_split(shape, R)
+        stp2 = {"cur": list(Ws)}
+
+        def m_dt_planner():
+            cur = stp2["cur"]
+            t0 = time.perf_counter()
+            for _ in range(n):
+                cur, _ = cp.dt_sweep(V, cur, lam, solver="svd",
+                                     root_split=split)
+            _pull(cur[0])
+            stp2["cur"] = cur
+            return max((time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
+
+        cur0, _ = cp.dt_sweep(V, list(Ws), lam, solver="svd",
+                              root_split=split)
+        _pull(cur0[0])
+        stp2["cur"] = cur0
+        dt_sweep_planner = _best_of(m_dt_planner)
+
         # PP: cache build time and steady-state sweep time. Chain several
         # builds back-to-back (data-dependent via a factor perturbation,
         # fused into the same jit — tiny separate dispatches cost ~1 ms
@@ -365,6 +387,60 @@ def main() -> int:
             tucker_pp = max(
                 (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)
 
+        # PP partial-update sweep (pp=2, als_CP.cxx:852-1073) and the
+        # low-rank second-gen optimizers (run pp=2/3) — measured so their
+        # cost model is data, not assumption (VERDICT r2 next #6)
+        partupdate_sweep = dtlr_step = msdtlr_step = None
+        if full:
+            import jax.numpy as _jnp
+            W_initp = [w for w in Ws]
+            dWsp = [_jnp.zeros_like(w) for w in Ws]
+            dMs = [_jnp.zeros_like(w) for w in Ws]
+            Msp = [_jnp.zeros_like(w) for w in Ws]
+            ms_set = _jnp.zeros(len(shape), dtype=bool)
+            relp = _jnp.zeros(len(shape), dtype=dtype)
+            grads0 = [_jnp.zeros_like(w) for w in Ws]
+            upd = max(len(shape) // 2, 1)
+            state_pu = (list(Ws), dWsp, dMs, Msp, ms_set, relp, grads0)
+
+            def one_pu(state):
+                Wsx, dWx, dMx, Mx, msx, rex, grx = state
+                out = cp.pp_partupdate_sweep(
+                    single, pair, Wsx, W_initp, dWx, dMx, Mx, msx, rex,
+                    grx, lam, 1.0, update_size=upd, solver="svd")
+                return out
+
+            state_pu = one_pu(state_pu)
+            _pull(state_pu[0][0])
+            t0 = time.perf_counter()
+            for _ in range(30):
+                state_pu = one_pu(state_pu)
+            _pull(state_pu[0][0])
+            partupdate_sweep = max(
+                (time.perf_counter() - t0 - pull_overhead) / 30, 1e-9)
+
+            # DT-LR / MSDT-LR steps (cp_dt_lr_optimizer.cxx:128-232)
+            from pairwise_perturbation_tpu.models import optimizers as _opt
+
+            def time_opt(make, n_steps=20):
+                o = make()
+                o.configure(V, [jnp.array(w) for w in Ws], 0.0)
+                o.step()
+                _pull(o.W[0])
+                t0 = time.perf_counter()
+                for _ in range(n_steps):
+                    o.step()
+                _pull(o.W[0])
+                return max(
+                    (time.perf_counter() - t0 - pull_overhead) / n_steps,
+                    1e-9)
+
+            dtlr_step = time_opt(
+                lambda: _opt.CPDTLROptimizer(len(shape), R, 1, False))
+            msdtlr_step = time_opt(
+                lambda: _opt.CPMSDTLROptimizer(len(shape), R, 1, False,
+                                               min_holdout_size=8))
+
         # time-lapse config (order-4 33x1344x1024x9, canonicalized to
         # (33, 9, 1344, 1024) for TPU tiling — script_real.py:46-48) and
         # bf16 order-3 Pallas MTTKRP, both first-class in the full suite
@@ -460,6 +536,8 @@ def main() -> int:
         extra = {
             "device": str(jax.devices()[0]),
             "dt_sweep_seconds": round(dt_sweep_time, 6),
+            "dt_sweep_seconds_planner_split": round(dt_sweep_planner, 6),
+            "planner_root_split": split,
             "pp_sweep_seconds": round(pp_sweep_time, 6),
             "pp_cache_build_seconds": round(pp_build_time, 6),
             "host_pull_overhead_seconds": round(pull_overhead, 6),
@@ -500,6 +578,9 @@ def main() -> int:
                 "tucker_coil_dt_sweep_seconds_subspace2":
                     round(tucker_dt_sub, 6),
                 "tucker_coil_pp_sweep_seconds": round(tucker_pp, 6),
+                "pp_partupdate_sweep_seconds": round(partupdate_sweep, 6),
+                "cpdtlr_step_seconds": round(dtlr_step, 6),
+                "cpmsdtlr_step_seconds": round(msdtlr_step, 6),
             })
         value = sweeps_per_sec
     except Exception as e:  # pragma: no cover
@@ -507,6 +588,18 @@ def main() -> int:
                           "value": 0.0, "unit": "sweeps/s",
                           "vs_baseline": 0.0, "error": repr(e)[:400]}))
         return 1
+
+    # PP-vs-DT end-to-end time-to-equal-fitness wins, recorded by
+    # scripts/bench_pp_e2e.py on this chip (results/PP_WINS.md)
+    try:
+        e2e = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results",
+            "pp_e2e.json")))
+        extra["pp_e2e_speedup"] = {
+            k: round(v["speedup"], 3) for k, v in e2e.items()
+            if v.get("speedup")}
+    except Exception:
+        pass
 
     base_sps, base_src, measured_sps, measured_src = _measured_baseline()
     out = {

@@ -38,21 +38,34 @@ def _v_dtype(name: str):
             "bfloat16": jnp.bfloat16}[name]
 
 
+def _dataset_path(args, default):
+    return args.tensorfile if args.tensorfile != "test" else default
+
+
 def _load_tensor(args):
     """Load/construct the tensor and canonicalize its mode order for TPU
     tile layouts (utils.layout): e.g. time-lapse (33,1344,1024,9) would
     occupy 23.3 GB with its 9-sized minor mode lane-padded to 128; the
-    permuted layout costs 1.63 GB. Returns (V, perm); per-mode outputs
-    must be mapped back with layout.unpermute_factors."""
+    permuted layout costs 1.63 GB. Returns (V, perm, pre_layout);
+    per-mode outputs must be mapped back with layout.unpermute_factors.
+
+    With ``-mesh`` set and a file-backed tensor (o1/o2), the tensor is
+    read SHARDED straight from disk (io.read_dense_sharded — the MPI-IO
+    collective-read equivalent, test_ALS.cxx:291-304): each process only
+    touches its devices' file spans, no host ever materializes the full
+    tensor, and ``pre_layout`` carries the production ShardedLayout.
+    """
     from pairwise_perturbation_tpu.utils import io as ppio, synth
     name = args.tensor
     dt = np.float64 if args.dtype == "float64" else np.float32
+    if args.mesh and name in ("o1", "o2"):
+        return _load_tensor_sharded(args)
     if name == "o1":
-        V = ppio.load_coil100(args.tensorfile if args.tensorfile != "test"
-                              else "coil-100.bin", out_dtype=dt)
+        V = ppio.load_coil100(_dataset_path(args, "coil-100.bin"),
+                              out_dtype=dt)
     elif name == "o2":
-        V = ppio.load_time_lapse(args.tensorfile if args.tensorfile != "test"
-                                 else "time-lapse.bin", out_dtype=dt)
+        V = ppio.load_time_lapse(_dataset_path(args, "time-lapse.bin"),
+                                 out_dtype=dt)
     else:
         V = synth.make_tensor(name, args.dim, args.size, args.rank,
                               args.colmin, args.colmax, args.rationoise,
@@ -61,20 +74,67 @@ def _load_tensor(args):
     V, perm = layout.canonicalize(V)
     if perm != tuple(range(V.ndim)) and not args.quiet:
         print(f"  canonicalized mode order for TPU tiling: perm={perm}")
-    return V, perm
+    return V, perm, None
 
 
-def _maybe_shard(V, Ws, args):
+def _load_tensor_sharded(args):
+    """Sharded-from-disk dataset load for ``-mesh`` runs (o1/o2).
+
+    Composes the CTF axis reversal (column-major global order, utils/io.py)
+    with the TPU tile canonicalization into one axes_perm view of the
+    on-disk array, plans the production layout on the FINAL mode order,
+    and block-reads per device.
+    """
+    from pairwise_perturbation_tpu.parallel import mesh as pmesh
+    from pairwise_perturbation_tpu.utils import io as ppio
+    from pairwise_perturbation_tpu.utils import layout as tlayout
+    if args.tensor == "o1":
+        file_shape = ppio.COIL100_FILE_SHAPE
+        path = _dataset_path(args, "coil-100.bin")
+    else:
+        file_shape = ppio.TIME_LAPSE_FILE_SHAPE
+        path = _dataset_path(args, "time-lapse.bin")
+    nd = len(file_shape)
+    ctf_shape = tuple(reversed(file_shape))
+    perm = tlayout.canonical_perm_or_identity(ctf_shape)
+    final_shape = tuple(ctf_shape[p] for p in perm)
+    mesh = pmesh.make_mesh(tuple(int(x) for x in args.mesh.split("x")))
+    layout = pmesh.plan_layout(final_shape, mesh)
+    axes = tuple(nd - 1 - perm[i] for i in range(nd))
+    dt = np.float64 if args.dtype == "float64" else np.float32
+    V = ppio.read_dense_sharded(path, layout, out_dtype=dt,
+                                file_shape=file_shape, axes_perm=axes)
+    if not args.quiet:
+        print(f"  sharded read: {path} -> {final_shape} (perm {perm}) "
+              f"padded {layout.padded_shape} over mesh {args.mesh}")
+    return V, perm, layout
+
+
+def _maybe_shard(V, Ws, args, pre_layout=None):
+    """Shard V (and factors) over the ``-mesh`` device mesh. Every driver
+    honors this — the reference runs ALL binaries over the full MPI world
+    (test_ALS.cxx:364-396 runs Tucker on the same CTF-sharded tensors).
+    ``pre_layout``: layout of an already-sharded-from-disk V."""
     if not args.mesh:
         return V, Ws, None
-    import jax
     from pairwise_perturbation_tpu.parallel import mesh as pmesh
+    if pre_layout is not None:
+        Wss = pmesh.shard_factors(Ws, pre_layout) if Ws else Ws
+        return V, Wss, pre_layout
     shape = tuple(int(x) for x in args.mesh.split("x"))
     mesh = pmesh.make_mesh(shape)
     layout = pmesh.plan_layout(V.shape, mesh)
     Vs = pmesh.shard_tensor(V, layout)
-    Wss = pmesh.shard_factors(Ws, layout)
+    Wss = pmesh.shard_factors(Ws, layout) if Ws else Ws
     return Vs, Wss, layout
+
+
+def _unshard_result_factors(res, layout):
+    """Gather sharded factors and strip layout padding rows in place."""
+    if layout is not None:
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        res.factors = pmesh.unshard_factors(res.factors, layout)
+    return res
 
 
 def _print_banner(args):
@@ -88,6 +148,18 @@ def _print_banner(args):
     print(f"  timelimit=  {args.timelimit}  maxiter=  {args.maxiter}"
           f"  resprint=  {args.resprint}")
     print(f"  dtype=  {args.dtype}  mesh=  {args.mesh or '1'}")
+
+
+def _planned_split(args, shape):
+    """Native-planner binary-tree root split (None = reference midpoint)."""
+    if not getattr(args, "planner", 0):
+        return None
+    from pairwise_perturbation_tpu import native
+    split, _flops = native.plan_tree_split(tuple(int(s) for s in shape),
+                                           int(args.rank))
+    if split == (len(shape) - 1) // 2:
+        return None  # planner agrees with the midpoint: share the jit cache
+    return split
 
 
 def _tucker_ranks(args, V):
@@ -106,14 +178,20 @@ def cmd_test_als(args) -> int:
 
     from pairwise_perturbation_tpu.utils import layout as tlayout
     _print_banner(args)
-    V, perm = _load_tensor(args)
-    Vnorm = float(np.linalg.norm(V.ravel()))
+    V, perm, pre_layout = _load_tensor(args)
+    if isinstance(V, np.ndarray):
+        Vnorm = float(np.linalg.norm(V.ravel()))
+    else:  # sharded device array: norm without gathering to host
+        from pairwise_perturbation_tpu.ops import contract as _ctr
+        Vnorm = float(jnp.sqrt(_ctr.norm_sq(V)))
     if not args.quiet:
         print(f"Vnorm= {Vnorm}")
     if args.dtype == "bfloat16":
         V = jnp.asarray(V, dtype=_v_dtype(args.dtype))
     t0 = time.perf_counter()
 
+    if args.model == "CP" and args.issparse:
+        return _cmd_test_als_sparse(args, V, perm, Vnorm)
     if args.model == "CP":
         if args.resume:
             from pairwise_perturbation_tpu.utils import io as ppio
@@ -127,24 +205,29 @@ def cmd_test_als(args) -> int:
             Ws = cp.init_factors(V.shape, args.rank,
                                  key=jax.random.PRNGKey(args.seed),
                                  dtype=_np_dtype(args.dtype))
-        Vd, Ws, layout = _maybe_shard(V, Ws, args)
+        Vd, Ws, layout = _maybe_shard(V, Ws, args, pre_layout)
         cfg = cp.CPConfig(tol=args.tol * Vnorm, pp_res_tol=args.pp_res_tol,
                           lam=args.lam, ratio_step=args.magni,
                           maxiter=args.maxiter, timelimit=args.timelimit,
                           resprint=args.resprint,
                           update_percentage=args.update_percentage_pp,
-                          precompute_layouts=bool(args.layouts))
+                          precompute_layouts=bool(args.layouts),
+                          mesh_layout=layout,
+                          tree_split=_planned_split(args, Vd.shape))
         plot = PlotFile(args.filename, PlotFile.CP_HEADER, echo=not args.quiet)
         if args.pp == 0:
             res = cp.als_cp_dt(Vd, Ws, cfg, plot)
         elif args.pp == 1:
-            if args.device_loop:
+            if args.device_loop >= 2:
+                res = cp.als_cp_pp_fused(Vd, Ws, cfg, plot)
+            elif args.device_loop:
                 res = cp.als_cp_pp_device(Vd, Ws, cfg, plot)
             else:
                 res = cp.als_cp_pp(Vd, Ws, cfg, plot)
         else:
             res = cp.als_cp_pp(Vd, Ws, cfg, plot, partial_update=True)
         plot.close()
+        _unshard_result_factors(res, layout)
         if args.checkpoint:
             from pairwise_perturbation_tpu.utils import io as ppio
             ppio.save_checkpoint(
@@ -155,6 +238,11 @@ def cmd_test_als(args) -> int:
             print(f"\nIter = {res.iters} Final grad norm {res.gradnorm:E}")
     else:
         ranks = tlayout.permute_tuple(_tucker_ranks(args, V), perm)
+        # Tucker factors come from HOSVD on the (sharded) tensor, so only
+        # V is sharded here; zero-padding is invisible to the mode Grams
+        # (padded rows/cols of G are zero -> top-k eigenvectors have zero
+        # padded entries) and to every TTMc.
+        Vd, _, layout = _maybe_shard(V, [], args, pre_layout)
         cfg = tucker.TuckerConfig(tol=args.tol * Vnorm,
                                   pp_res_tol=args.pp_res_tol,
                                   maxiter=args.maxiter,
@@ -164,13 +252,14 @@ def cmd_test_als(args) -> int:
         plot = PlotFile(args.filename, PlotFile.TUCKER_HEADER,
                         echo=not args.quiet)
         if args.pp == 0:
-            res = tucker.als_tucker(V, ranks, cfg, plot)
+            res = tucker.als_tucker(Vd, ranks, cfg, plot)
         else:
             if args.device_loop:
-                res = tucker.als_tucker_pp_device(V, ranks, cfg, plot)
+                res = tucker.als_tucker_pp_device(Vd, ranks, cfg, plot)
             else:
-                res = tucker.als_tucker_pp(V, ranks, cfg, plot)
+                res = tucker.als_tucker_pp(Vd, ranks, cfg, plot)
         plot.close()
+        _unshard_result_factors(res, layout)
         if args.checkpoint:
             from pairwise_perturbation_tpu.utils import io as ppio
             ppio.save_checkpoint(
@@ -185,6 +274,50 @@ def cmd_test_als(args) -> int:
     return 0
 
 
+def _cmd_test_als_sparse(args, V, perm, Vnorm) -> int:
+    """Sparse CP path (-issparse 1): COO engine over the tensor's
+    nonzeros. Natural fit: the laplacian family ('p'/'p2'), whose
+    stencil structure is extremely sparse (common.cxx:575-642)."""
+    import jax
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import cp, sparse_cp
+    from pairwise_perturbation_tpu.ops import sparse as spo
+    from pairwise_perturbation_tpu.utils.metrics import PlotFile
+
+    st = spo.from_dense(np.asarray(V, dtype=_np_dtype(args.dtype)
+                                   if args.dtype != "float64"
+                                   else np.float64))
+    density = st.nnz / float(np.prod(st.shape))
+    if not args.quiet:
+        print(f"  sparse COO: nnz= {st.nnz}  density= {density:.4f}")
+        if density > 0.25:
+            print("  WARNING: tensor is dense-ish; the dense engine "
+                  "(-issparse 0) will be faster")
+    Ws = cp.init_factors(st.shape, args.rank,
+                         key=jax.random.PRNGKey(args.seed),
+                         dtype=_np_dtype(args.dtype))
+    cfg = cp.CPConfig(tol=args.tol * Vnorm, pp_res_tol=args.pp_res_tol,
+                      lam=args.lam, ratio_step=args.magni,
+                      maxiter=args.maxiter, timelimit=args.timelimit,
+                      resprint=args.resprint)
+    plot = PlotFile(args.filename, PlotFile.CP_HEADER, echo=not args.quiet)
+    if args.pp == 0:
+        res = sparse_cp.als_cp_sparse(st, Ws, cfg, plot)
+    else:
+        res = sparse_cp.als_cp_pp_sparse(st, Ws, cfg, plot)
+    plot.close()
+    if args.checkpoint:
+        from pairwise_perturbation_tpu.utils import io as ppio
+        from pairwise_perturbation_tpu.utils import layout as tlayout
+        ppio.save_checkpoint(
+            args.checkpoint,
+            tlayout.unpermute_factors(res.factors, perm), res.iters,
+            meta=dict(model="CP", tensor=args.tensor, sparse=True))
+    if not args.quiet:
+        print(f"\nIter = {res.iters} Final grad norm {res.gradnorm:E}")
+    return 0
+
+
 def cmd_run(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -192,12 +325,18 @@ def cmd_run(args) -> int:
     from pairwise_perturbation_tpu.utils.metrics import PlotFile
 
     _print_banner(args)
-    V, perm = _load_tensor(args)
-    Vnorm = float(np.linalg.norm(V.ravel()))
+    V, perm, pre_layout = _load_tensor(args)
+    if isinstance(V, np.ndarray):
+        Vnorm = float(np.linalg.norm(V.ravel()))
+    else:
+        from pairwise_perturbation_tpu.ops import contract as _ctr
+        Vnorm = float(jnp.sqrt(_ctr.norm_sq(V)))
     order = V.ndim
     Ws = cp.init_factors(V.shape, args.rank,
                          key=jax.random.PRNGKey(args.seed),
                          dtype=_np_dtype(args.dtype))
+    Vd, Ws, layout = _maybe_shard(
+        jnp.asarray(V, dtype=_v_dtype(args.dtype)), Ws, args, pre_layout)
     make = {
         0: lambda: opt.CPDTOptimizer(order, args.rank),
         1: lambda: opt.CPMSDTOptimizer(
@@ -209,8 +348,8 @@ def cmd_run(args) -> int:
             min_holdout_size=args.msdt_min_holdout),
         4: lambda: opt.CPSimpleOptimizer(order, args.rank),
     }[args.pp]
-    model = opt.CPD(order, list(V.shape), args.rank, make())
-    model.init(jnp.asarray(V, dtype=_v_dtype(args.dtype)), Ws, lam=args.lam)
+    model = opt.CPD(order, list(Vd.shape), args.rank, make())
+    model.init(Vd, Ws, lam=args.lam)
     plot = PlotFile(args.filename, PlotFile.CP_HEADER, echo=not args.quiet)
     model.als(tol=args.tol * Vnorm, timelimit=args.timelimit,
               maxsweep=args.maxiter, resprint=args.resprint, plot=plot,
@@ -228,11 +367,12 @@ def cmd_pp_bench(args) -> int:
     import jax
     import jax.numpy as jnp
     from pairwise_perturbation_tpu.models import cp, tucker
+    from pairwise_perturbation_tpu.models.cp import _sync
     from pairwise_perturbation_tpu.utils.metrics import PlotFile
 
     from pairwise_perturbation_tpu.utils import layout as tlayout
     _print_banner(args)
-    V, perm = _load_tensor(args)
+    V, perm, pre_layout = _load_tensor(args)
     V = jnp.asarray(V, dtype=_v_dtype(args.dtype))
     Vnorm = float(jnp.linalg.norm(V.ravel()))
     plot = PlotFile(args.filename, PlotFile.BENCH_HEADER, echo=not args.quiet)
@@ -241,20 +381,22 @@ def cmd_pp_bench(args) -> int:
         W0 = cp.init_factors(V.shape, args.rank,
                              key=jax.random.PRNGKey(args.seed),
                              dtype=_np_dtype(args.dtype))
+        V, W0, _ = _maybe_shard(V, W0, args, pre_layout)
         lam = jnp.asarray(args.lam, dtype=V.dtype)
+        split = _planned_split(args, V.shape)
         # warm up compiles (excluded, like CTF's first-touch costs are not)
         Ws, _ = cp.dt_sweep(V, [jnp.array(w) for w in W0], lam,
-                            solver="svd")
-        jax.block_until_ready(Ws)
+                            solver="svd", root_split=split)
+        _sync(Ws)
         for _ in range(args.maxiter):
             Ws = [jnp.array(w) for w in W0]
             t0 = time.perf_counter()
-            Ws, _ = cp.dt_sweep(V, Ws, lam, solver="svd")
-            jax.block_until_ready(Ws)
+            Ws, _ = cp.dt_sweep(V, Ws, lam, solver="svd", root_split=split)
+            _sync(Ws)
             plot.bench_row("DTtime", time.perf_counter() - t0)
         # PP: cache build + first sweep, then steady-state sweep
         single, pair = cp.pp_build_caches(V, [jnp.array(w) for w in W0])
-        jax.block_until_ready(single)
+        _sync(single)
         for _ in range(args.maxiter):
             Ws = [jnp.array(w) for w in W0]
             t0 = time.perf_counter()
@@ -263,28 +405,29 @@ def cmd_pp_bench(args) -> int:
             dWs = [jnp.zeros_like(w) for w in Ws]
             Ws, dWs, _ = cp.pp_sweep(single, pair, Ws, W_init, dWs, lam,
                                      args.magni, solver="svd")
-            jax.block_until_ready(Ws)
+            _sync(Ws)
             t1 = time.perf_counter()
             plot.bench_row("PPfirst", t1 - t0)
             Ws2, dWs2, _ = cp.pp_sweep(single, pair, Ws, W_init, dWs, lam,
                                        args.magni, solver="svd")
-            jax.block_until_ready(Ws2)
+            _sync(Ws2)
             plot.bench_row("PPsecond", time.perf_counter() - t1)
     else:
         ranks = tlayout.permute_tuple(_tucker_ranks(args, V), perm)
+        V, _, _ = _maybe_shard(V, [], args, pre_layout)
         core, Ws0 = tucker.hosvd(V, ranks)
-        jax.block_until_ready(core)
+        _sync(core)
         Ws, _ = tucker.tucker_dt_sweep(V, Ws0, Ws0, ranks=tuple(ranks),
                                        use_sign=True)
-        jax.block_until_ready(Ws)
+        _sync(Ws)
         for _ in range(args.maxiter):
             t0 = time.perf_counter()
             Ws, _ = tucker.tucker_dt_sweep(V, list(Ws0), Ws0,
                                            ranks=tuple(ranks), use_sign=True)
-            jax.block_until_ready(Ws)
+            _sync(Ws)
             plot.bench_row("DTtime", time.perf_counter() - t0)
         single, pair = tucker.tucker_build_caches(V, list(Ws0))
-        jax.block_until_ready(single)
+        _sync(single)
         for _ in range(args.maxiter):
             t0 = time.perf_counter()
             single, pair = tucker.tucker_build_caches(V, list(Ws0))
@@ -293,13 +436,13 @@ def cmd_pp_bench(args) -> int:
             Ws, dWs, core = tucker.tucker_pp_sweep(single, pair, list(Ws0),
                                                    W_init, dWs,
                                                    ranks=tuple(ranks))
-            jax.block_until_ready(Ws)
+            _sync(Ws)
             t1 = time.perf_counter()
             plot.bench_row("PPfirst", t1 - t0)
             Ws2, dWs2, core2 = tucker.tucker_pp_sweep(single, pair, Ws,
                                                       W_init, dWs,
                                                       ranks=tuple(ranks))
-            jax.block_until_ready(Ws2)
+            _sync(Ws2)
             plot.bench_row("PPsecond", time.perf_counter() - t1)
     plot.close()
     return 0
@@ -307,6 +450,13 @@ def cmd_pp_bench(args) -> int:
 
 def main(argv=None) -> int:
     from pairwise_perturbation_tpu.utils import flags
+    try:  # persistent XLA compile cache: repeat runs skip relay compiles
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/pp_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = "test_als"
     if argv and argv[0] in ("test_als", "run", "pp_bench"):
@@ -314,14 +464,17 @@ def main(argv=None) -> int:
     parser = flags.build_parser(f"pairwise_perturbation_tpu.cli {cmd}")
     args = parser.parse_args(argv)
     flags.clamp(args)
-    if args.issparse:
-        # The reference forwards -issparse into CTF sparse tensors
-        # (test_ALS.cxx); this framework is dense-only by design — fail
-        # loudly rather than silently ignoring the flag.
+    if args.issparse and not (cmd == "test_als" and args.model == "CP"
+                              and args.pp in (0, 1) and not args.mesh):
+        # Sparse scope: legacy CP engine, pp 0 (plain ALS) and pp 1 (PP),
+        # single device. The reference threads -issparse into every CTF
+        # constructor (test_ALS.cxx:126-131, 229); here the supported
+        # subset is explicit and anything else fails loudly.
         raise SystemExit(
-            "-issparse 1 is not supported: the TPU-native framework is "
-            "dense-only (sparse CTF tensors have no XLA equivalent here). "
-            "Re-run without -issparse.")
+            "-issparse 1 is supported for test_als -model CP -pp {0,1} "
+            "without -mesh (COO engine, ops/sparse.py). Sparse Tucker / "
+            "partial-update / second-gen optimizers are out of scope — "
+            "re-run without -issparse.")
     # Multi-host SPMD bring-up: no-op single-host, loud on a failed
     # coordinator handshake (parallel/mesh.py:distributed_init).
     from pairwise_perturbation_tpu.parallel import mesh as pmesh

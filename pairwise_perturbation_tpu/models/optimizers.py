@@ -486,21 +486,19 @@ class CPD(Decomposition):
         sweeps = 0.0
         diffV = float("inf")
         history = []
-        from pairwise_perturbation_tpu.models.cp import cp_diagnostics
+        from pairwise_perturbation_tpu.models.cp import (_sync_counted,
+                                                         calibrate_rtt,
+                                                         cp_diagnostics)
+        with clock.exclude():
+            calibrate_rtt(clock, self.optimizer.W[0])
         while int(sweeps) <= maxsweep:
             if iters % resprint == 0 or sweeps >= maxsweep or sweeps == 0:
                 # sync queued steps BEFORE the excluded window (models/cp.py)
-                jax.block_until_ready(self.optimizer.W)
+                _sync_counted(clock, self.optimizer.W)
                 with clock.exclude():
                     W = self.optimizer.W
-                    if getattr(self.optimizer, "grads", None):
-                        gn, dV = cp_diagnostics(V_norm_sq, V, W,
-                                                self.optimizer.grads)
-                        self.gradnorm, diffV = float(gn), float(dV)
-                    else:
-                        M_last = contract.mttkrp(V, W, self.order - 1)
-                        diffV = float(contract.cp_residual_norm(
-                            V_norm_sq, M_last, W))
+                    gn, dV = cp_diagnostics(V_norm_sq, V, W)
+                    self.gradnorm, diffV = float(gn), float(dV)
                 dtime = clock.dtime()
                 if plot is not None:
                     plot.row(V.shape[0], sweeps, self.gradnorm, tol, 0, diffV,

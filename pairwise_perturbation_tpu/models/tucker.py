@@ -328,8 +328,11 @@ def hosvd(V, ranks: Sequence[int]):
 
 def _diag_and_log(V_norm_sq, V, Ws, core_prev_norm, clock, plot, it, tol,
                   pp_flag, history):
-    # sync queued sweeps BEFORE the excluded window (see models/cp.py)
-    jax.block_until_ready(Ws)
+    # sync queued sweeps BEFORE the excluded window; a literal host pull,
+    # not block_until_ready (untrustworthy through the axon relay); one
+    # calibrated RTT is excluded, the queue drain stays counted (cp.py)
+    from pairwise_perturbation_tpu.models.cp import _sync_counted
+    _sync_counted(clock, Ws)
     with clock.exclude():
         core, cn, diffnorm, diffV = tracing.timed(
             "tucker.diagnostics", tucker_diagnostics,
@@ -369,6 +372,8 @@ def als_tucker(V, ranks, cfg: TuckerConfig,
                          use_sign=False, subspace_iters=cfg.subspace_iters)
         else:
             warm_compile(tucker_hooi_sweep, V, Ws, ranks=ranks)
+        from pairwise_perturbation_tpu.models.cp import calibrate_rtt
+        calibrate_rtt(clock, Ws[0])
     history: list = []
     core_prev_norm = jnp.linalg.norm(core.ravel())
     diffnorm, diffV = float("inf"), float("inf")
@@ -422,8 +427,9 @@ def _tucker_dt_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
         dWs = [W - Wp for W, Wp in zip(Ws_new, W_prev)]
         W_prev = [W for W in Ws_new]
         Ws = Ws_new
-        from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
-        ratios = np.asarray(factor_norm_ratios(Ws, dWs))
+        from pairwise_perturbation_tpu.models.cp import (_host_pull,
+                                                         factor_norm_ratios)
+        ratios = _host_pull(clock, factor_norm_ratios(Ws, dWs))
         state["iter"] = it + 1
         if int(np.sum(np.abs(ratios) < state["tol_init"])) == order:
             return Ws, dWs, "quiet"
@@ -452,7 +458,8 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
         it = state["iter"]
         num_dw_break = 0
         if not cfg.bench:
-            ratios = np.asarray(factor_norm_ratios(Ws, dWs))
+            from pairwise_perturbation_tpu.models.cp import _host_pull
+            ratios = _host_pull(clock, factor_norm_ratios(Ws, dWs))
             num_dw_break = int(np.sum(np.abs(ratios) > state["tol_init"]))
         if it == init_iter or num_dw_break > 0:
             if num_dw_break > 0:
@@ -497,6 +504,9 @@ def als_tucker_pp(V, ranks, cfg: TuckerConfig,
         Ws = [jnp.asarray(W) for W in Ws]
         core = contract.ttmc(V, Ws, skip_mode=-1)
     clock = clock or SweepClock()
+    from pairwise_perturbation_tpu.models.cp import calibrate_rtt
+    with clock.exclude():
+        calibrate_rtt(clock, Ws[0])
     state = dict(iter=0, core=core,
                  core_prev_norm=jnp.linalg.norm(core.ravel()),
                  diffnorm=float("inf"), diffV=float("inf"),
@@ -650,7 +660,10 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         jnp.asarray(0), jnp.asarray(0), ranks=ranks,
         max_sweeps=cfg.maxiter + 1, subspace_iters=cfg.subspace_iters,
         resprint=cfg.resprint)
-    jax.block_until_ready((_w1[3], _w2[3]))
+    from pairwise_perturbation_tpu.models.cp import (_host_pull, _sync,
+                                                     calibrate_rtt)
+    _sync((_w1[3], _w2[3]))
+    calibrate_rtt(clock, _w1[3])
     clock.reset()
 
     def _log(hist, n, pp_flag, t0, t1):
@@ -675,7 +688,7 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
             jnp.asarray(cfg.tol, V.dtype), budget, ranks=ranks,
             max_sweeps=cfg.maxiter + 1,
             subspace_iters=cfg.subspace_iters)
-        n = int(n)
+        n = int(_host_pull(clock, n))
         t1 = clock.dtime()
         _log(hist, n, 0, t0, t1)
         if float(dn_d) < cfg.tol or it > cfg.maxiter or t1 > cfg.timelimit:
@@ -688,7 +701,7 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
             jnp.asarray(cfg.tol, V.dtype), budget, jnp.asarray(it),
             ranks=ranks, max_sweeps=cfg.maxiter + 1,
             subspace_iters=cfg.subspace_iters, resprint=cfg.resprint)
-        n = int(n)
+        n = int(_host_pull(clock, n))
         t1 = clock.dtime()
         _log(hist, n, 1, t0, t1)
         dn = float(dn_d)

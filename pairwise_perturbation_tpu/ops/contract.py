@@ -31,6 +31,7 @@ contractions therefore lower to MXU matmuls fused by XLA.
 
 from __future__ import annotations
 
+import functools as _functools
 import string
 from typing import Dict, Sequence, Tuple
 
@@ -209,8 +210,20 @@ def contraction_priority(shape: Sequence[int]) -> Tuple[int, ...]:
     first. Contracting the largest mode first keeps every intermediate
     small — TPU HBM is the scarce resource — while prefix memoization
     still shares work (all chains follow one global order).
+
+    Delegates to the native planner (native/planner.cpp
+    plan_chain_priority, greedy min-next-intermediate) when the .so is
+    available; the pure-Python fallback implements the same rule. Called
+    at trace time only; memoized per shape.
     """
-    return tuple(sorted(range(len(shape)), key=lambda m: (-shape[m], m)))
+    return _priority_cached(tuple(int(s) for s in shape))
+
+
+@_functools.lru_cache(maxsize=None)
+def _priority_cached(shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    from pairwise_perturbation_tpu import native
+    pr, _peak = native.plan_chain_priority(shape, 1)
+    return tuple(pr)
 
 
 def order_by_priority(modes, priority: Sequence[int]) -> Tuple[int, ...]:
@@ -286,16 +299,18 @@ def chain_root_modes_pp(shape) -> Tuple[int, ...]:
     return tuple(sorted(roots))
 
 
-def chain_root_modes_dt(shape) -> Tuple[int, ...]:
+def chain_root_modes_dt(shape, root_split: int = None) -> Tuple[int, ...]:
     """Modes contracted first when building the binary tree's top-level
-    nodes (one per child of the root)."""
+    nodes (one per child of the root). ``root_split`` as in
+    ops.dimtree.binary_parent_map (None = midpoint)."""
     order = len(shape)
     pr = contraction_priority(shape)
-    mid = (order - 1) // 2
+    mid = (order - 1) // 2 if root_split is None else root_split
     roots = set()
     for lo, hi in ((0, mid), (mid + 1, order - 1)):
         comp = [m for m in range(order) if not lo <= m <= hi]
-        roots.add(order_by_priority(comp, pr)[0])
+        if comp:
+            roots.add(order_by_priority(comp, pr)[0])
     return tuple(sorted(roots))
 
 
@@ -380,11 +395,16 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
             memo[key] = (T2, rem2)
         return memo[key]
 
+    R = factors[0].shape[1]
     pair = {}
     for i in range(order):
         for j in range(i + 1, order):
             key = order_by_priority(
                 (m for m in range(order) if m not in (i, j)), priority)
+            if not key:  # order-2 tensor: the pair cache IS V (rank-bcast)
+                pair[(i, j)] = jnp.broadcast_to(
+                    V[None].astype(factors[0].dtype), (R,) + V.shape)
+                continue
             pair[(i, j)] = get(key)[0]          # already (R, s_i, s_j)
     single = {}
     for i in range(order):
@@ -481,6 +501,21 @@ def cp_gradient(V, factors: Sequence, regul=None, precision=None):
 def gradsubprob(M, S, W):
     """grad = -M + W S (common.cxx:1002-1004)."""
     return -M + W @ S
+
+
+def cp_gradnorm(V, factors: Sequence, regul=None, precision=None):
+    """EXACT CP gradient norm sqrt(sum_i ||-M_i + W_i S_i||^2) at the
+    current iterate (fresh MTTKRP per mode).
+
+    Diagnostics-only: the per-sweep gradnorm logged by the reference
+    (als_CP.cxx:174-181) mixes within-sweep gradients whose scale differs
+    between the DT and PP phases (exact vs perturbative M); recomputing at
+    the logged iterate makes the CSV's convergence column mean one thing
+    across phases. Cost: N exact MTTKRPs, paid only on logged rows and
+    excluded from dtime like all diagnostics.
+    """
+    grads = cp_gradient(V, factors, regul=regul, precision=precision)
+    return jnp.sqrt(sum(jnp.vdot(g, g) for g in grads))
 
 
 def cp_residual_norm(V_norm_sq, M_last, factors: Sequence, precision=None):

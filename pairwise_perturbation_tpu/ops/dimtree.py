@@ -32,20 +32,33 @@ def binary_children(lo: int, hi: int) -> Tuple[Tuple[int, int], Tuple[int, int]]
     return (lo, mid), (mid + 1, hi)
 
 
-def binary_parent_map(order: int) -> Dict[Tuple[int, int], Tuple[int, int]]:
-    """parent[(lo, hi)] for every non-root node of the binary tree."""
+def binary_parent_map(order: int, root_split: int = None
+                      ) -> Dict[Tuple[int, int], Tuple[int, int]]:
+    """parent[(lo, hi)] for every non-root node of the binary tree.
+
+    ``root_split``: mode index s ending the root's left child
+    ([0, s] / [s+1, order-1]); None = the reference's fixed midpoint
+    (common.cxx:252). The native planner (native/planner.cpp
+    plan_tree_split) picks s minimizing one sweep's FLOPs — on skewed
+    shapes like coil-100 the asymmetric split saves ~20% (the huge mode
+    gets its own top-level node, which IS its leaf). Deeper levels stay
+    midpoint.
+    """
     parent: Dict[Tuple[int, int], Tuple[int, int]] = {}
 
-    def rec(lo: int, hi: int):
+    def rec(lo: int, hi: int, split: int = None):
         if lo == hi:
             return
-        (l0, l1), (r0, r1) = binary_children(lo, hi)
+        if split is None:
+            (l0, l1), (r0, r1) = binary_children(lo, hi)
+        else:
+            (l0, l1), (r0, r1) = (lo, split), (split + 1, hi)
         parent[(l0, l1)] = (lo, hi)
         parent[(r0, r1)] = (lo, hi)
         rec(l0, l1)
         rec(r0, r1)
 
-    rec(0, order - 1)
+    rec(0, order - 1, root_split)
     return parent
 
 
@@ -59,13 +72,14 @@ class BinaryTreeSweep:
     common.cxx:29-88); deeper nodes from their parent.
     """
 
-    def __init__(self, V, factors: Sequence, precision=None, layouts=None):
+    def __init__(self, V, factors: Sequence, precision=None, layouts=None,
+                 root_split: int = None):
         self.V = V
         self.factors = list(factors)
         self.order = V.ndim
         self.precision = precision
         self.layouts = layouts
-        self.parent = binary_parent_map(self.order)
+        self.parent = binary_parent_map(self.order, root_split)
         self._memo: Dict[Tuple[int, int], object] = {}
 
     def node(self, lo: int, hi: int):

@@ -178,6 +178,21 @@ def sharded_mttkrp(V, Ws: Sequence, mode: int, layout: ShardedLayout):
     return f(V, *Ws)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("single_specs", "pair_specs"))
+def _constrained_build(V, Ws, single_specs, pair_specs):
+    from jax.lax import with_sharding_constraint
+    single, pair = contract.build_pp_caches(V, list(Ws))
+    single = {i: with_sharding_constraint(x, single_specs[i])
+              for i, x in single.items()}
+    keys = sorted(pair)
+    pair = {k: with_sharding_constraint(pair[k], s)
+            for k, s in zip(keys, pair_specs)}
+    return single, pair
+
+
 def constrained_pp_caches(V, Ws: Sequence, layout: ShardedLayout):
     """PP cache build with explicit sharding constraints.
 
@@ -187,26 +202,19 @@ def constrained_pp_caches(V, Ws: Sequence, layout: ShardedLayout):
     contractions T_{ij} x_j dW_j are local in the i-axis with a single
     reduction over j's axis — no resharding. GSPMD usually infers this;
     the constraint makes the layout deterministic.
+
+    The jitted build is module-level with the (hashable) sharding specs
+    as static args, so repeated cache rebuilds hit the jit cache instead
+    of retracing per call.
     """
-    from jax.lax import with_sharding_constraint
-
     mesh = layout.mesh
-
-    def spec_for_pair(i, j):
-        # caches are rank-major (R, s_i, s_j) — replicate the rank axis
-        return NamedSharding(mesh, P(None, layout.mode_axis.get(i),
-                                     layout.mode_axis.get(j)))
-
-    def spec_for_single(i):
-        return NamedSharding(mesh, P(layout.mode_axis.get(i), None))
-
-    @jax.jit
-    def build(V, Ws):
-        single, pair = contract.build_pp_caches(V, list(Ws))
-        single = {i: with_sharding_constraint(x, spec_for_single(i))
-                  for i, x in single.items()}
-        pair = {k: with_sharding_constraint(x, spec_for_pair(*k))
-                for k, x in pair.items()}
-        return single, pair
-
-    return build(V, Ws)
+    order = len(Ws)
+    single_specs = tuple(
+        NamedSharding(mesh, P(layout.mode_axis.get(i), None))
+        for i in range(order))
+    # caches are rank-major (R, s_i, s_j) — replicate the rank axis
+    pair_specs = tuple(
+        NamedSharding(mesh, P(None, layout.mode_axis.get(i),
+                              layout.mode_axis.get(j)))
+        for i in range(order) for j in range(i + 1, order))
+    return _constrained_build(V, list(Ws), single_specs, pair_specs)

@@ -59,7 +59,10 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                    help="checkpoint path to resume factors from")
     p.add_argument("-device_loop", type=int, default=0,
                    help="1: run DT/PP phases fully on device "
-                        "(lax.while_loop; one host sync per phase)")
+                        "(lax.while_loop; one host sync per phase); "
+                        "2: fully-fused machine (one dispatch per ~64 "
+                        "sweeps; DT sweeps, cache builds, PP sweeps and "
+                        "restarts all inside a single while_loop)")
     p.add_argument("-tucker_subspace", type=int, default=-1,
                    help="Tucker factor extraction: -1 = auto (default: "
                         "warm-started subspace iteration for large eigh "
@@ -72,6 +75,11 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                         "modes of size >= this (0 = reference semantics). "
                         "Skewed tensors: skipping tiny hold-outs avoids "
                         "|V|*R/s_m-sized intermediates")
+    p.add_argument("-planner", type=int, default=1,
+                   help="1 (default): binary-tree root split chosen by the "
+                        "native FLOP planner (native/planner.cpp) — e.g. "
+                        "~20%% fewer sweep FLOPs on coil-100's skewed "
+                        "shape; 0: reference midpoint split")
     p.add_argument("-layouts", type=int, default=0,
                    help="1: keep mode-minor permuted copies of V so "
                         "first-level contractions avoid XLA transposes")

@@ -65,7 +65,8 @@ def write_dense_binary(path: str, V: np.ndarray, file_dtype="<f8") -> None:
 
 
 def read_dense_sharded(path: str, layout, file_dtype="<f8",
-                       out_dtype=np.float32):
+                       out_dtype=np.float32, file_shape=None,
+                       axes_perm=None):
     """Per-host sharded read of a row-major dense binary.
 
     The TPU-native replacement for the reference's MPI-IO collective read
@@ -77,9 +78,14 @@ def read_dense_sharded(path: str, layout, file_dtype="<f8",
     materializes the full tensor, so the weak-scaling memory story holds.
 
     ``layout`` is a :class:`...parallel.mesh.ShardedLayout` (from
-    ``plan_layout``). Returns a global jax.Array with the layout's
-    NamedSharding over the PADDED shape (padding rows are zero, which is
-    algebraically invisible to ALS — see parallel/mesh.py).
+    ``plan_layout``). ``file_shape``/``axes_perm`` view the on-disk array
+    through a transpose BEFORE block extraction (composing the CTF
+    axis-reversal with the TPU tile canonicalization, so real datasets
+    shard straight from disk in their production mode order):
+    ``layout.orig_shape[i] == file_shape[axes_perm[i]]``. Returns a global
+    jax.Array with the layout's NamedSharding over the PADDED shape
+    (padding rows are zero, which is algebraically invisible to ALS — see
+    parallel/mesh.py).
     """
     import jax
     from jax.sharding import NamedSharding
@@ -87,7 +93,11 @@ def read_dense_sharded(path: str, layout, file_dtype="<f8",
     sharding = NamedSharding(layout.mesh, layout.v_spec())
     padded = tuple(layout.padded_shape)
     orig = tuple(layout.orig_shape)
-    mm = np.memmap(path, dtype=file_dtype, mode="r", shape=orig)
+    mm = np.memmap(path, dtype=file_dtype, mode="r",
+                   shape=tuple(file_shape) if file_shape else orig)
+    if axes_perm is not None:
+        mm = mm.transpose(tuple(axes_perm))
+        assert mm.shape == orig, (mm.shape, orig)
     idx_map = sharding.addressable_devices_indices_map(padded)
     arrays = []
     for dev, idx in idx_map.items():

@@ -52,20 +52,31 @@ def canonical_perm(shape: Sequence[int]) -> Tuple[int, ...]:
     return best[1]
 
 
+def canonical_perm_or_identity(shape: Sequence[int],
+                               threshold: float = 1.10) -> Tuple[int, ...]:
+    """The permutation :func:`canonicalize` would apply for ``shape`` —
+    decidable from the shape alone (used by the sharded loader to plan the
+    production mode order before any byte is read)."""
+    shape = tuple(int(s) for s in shape)
+    ident = tuple(range(len(shape)))
+    if len(shape) < 2:
+        return ident
+    natural = _pad_waste(shape[-2], shape[-1])
+    perm = canonical_perm(shape)
+    permuted = _pad_waste(shape[perm[-2]], shape[perm[-1]])
+    if natural <= threshold or natural <= permuted * 1.02:
+        return ident
+    return perm
+
+
 def canonicalize(V: np.ndarray, threshold: float = 1.10):
     """Permute V's modes for TPU tiling when the natural layout wastes
     more than ``threshold`` in padding. Returns (V_perm, perm) with
     ``V_perm = transpose(V, perm)``; perm is the identity when the
     natural layout is already fine."""
-    shape = V.shape
-    ident = tuple(range(V.ndim))
-    if V.ndim < 2:
-        return V, ident
-    natural = _pad_waste(shape[-2], shape[-1])
-    perm = canonical_perm(shape)
-    permuted = _pad_waste(shape[perm[-2]], shape[perm[-1]])
-    if natural <= threshold or natural <= permuted * 1.02:
-        return V, ident
+    perm = canonical_perm_or_identity(V.shape, threshold)
+    if perm == tuple(range(V.ndim)):
+        return V, perm
     return np.ascontiguousarray(np.transpose(V, perm)), perm
 
 

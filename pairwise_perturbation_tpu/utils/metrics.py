@@ -64,10 +64,18 @@ class PlotFile:
 
 
 class SweepClock:
-    """Wall clock with excluded-diagnostics accounting (als_CP.cxx:189-190)."""
+    """Wall clock with excluded-diagnostics accounting (als_CP.cxx:189-190).
+
+    ``rtt`` holds the calibrated host<->device round-trip latency (25 ms
+    through the axon TPU relay, ~0 on local backends). Sync points charge
+    the device-queue drain to dtime but exclude one RTT per sync — the
+    relay latency is a harness artifact with no analogue in the
+    reference's MPI runs (drivers calibrate it via cp.calibrate_rtt).
+    """
 
     def __init__(self):
         self.st_time = time.perf_counter()
+        self.rtt = 0.0
 
     def exclude(self):
         """Context manager: time spent inside is excluded from dtime."""

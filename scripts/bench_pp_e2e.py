@@ -1,0 +1,192 @@
+"""PP vs DT end-to-end time-to-equal-fitness on TPU — the framework's
+headline claim (als_CP.cxx:621-833; paper arXiv:1811.10573 Fig. 5-8).
+
+For each config, runs pipelined DT (als_cp_dt, honest dtime: queued
+sweeps drained before every excluded diagnostics window, relay RTT
+calibrated out) and the fused device-resident PP machine
+(als_cp_pp_fused, one dispatch per ~64 sweeps) from IDENTICAL factors,
+then reports the first wall-clock time at which each trajectory reaches
+the same fitness target. Configs follow the reference's experiment
+families: the coil-100 real-data shape (script_real.py:42-44) and the
+order-6 strong-scaling family (script_strongscaling.py: dim 6, tensors
+r/c) at single-chip size.
+
+Writes results/pp_e2e.json + results/PP_WINS.md. bench.py surfaces the
+recorded speedups.
+
+Usage: python scripts/bench_pp_e2e.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def time_to_fitness(history, target):
+    """First dtime at which diffV <= target (linear interp between rows);
+    None if never reached."""
+    prev = None
+    for row in history:
+        if np.isfinite(row["diffV"]) and row["diffV"] <= target:
+            if prev is None or not np.isfinite(prev["diffV"]):
+                return row["dtime"]
+            d0, d1 = prev["diffV"], row["diffV"]
+            t0, t1 = prev["dtime"], row["dtime"]
+            if d0 <= d1:
+                return row["dtime"]
+            frac = (d0 - target) / (d0 - d1)
+            return t0 + frac * (t1 - t0)
+        prev = row
+    return None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from pairwise_perturbation_tpu.models import cp
+    from pairwise_perturbation_tpu.ops import contract
+    from pairwise_perturbation_tpu.utils import synth
+    from pairwise_perturbation_tpu import native
+
+    quick = "--quick" in sys.argv
+    maxiter = 40 if quick else 250
+    R6 = 6
+    s6 = 16 if quick else 32
+
+    build_dense_jit = jax.jit(
+        lambda Ws: contract.build_dense([jnp.asarray(w) for w in Ws]))
+
+    def make_device_cp_tensor(shape, R, seed, noise=0.0, col=None):
+        """Build a CP-structured tensor ON DEVICE (host RAM is the scarce
+        resource for 32^6; factors are tiny)."""
+        rng = np.random.default_rng(seed)
+        if col is not None:
+            Ws_true = synth.gen_collinearity_factors(
+                list(shape), R, col[0], col[1], rng) \
+                if hasattr(synth, "gen_collinearity_factors") else None
+        else:
+            Ws_true = None
+        if Ws_true is None:
+            Ws_true = [rng.random((s, R)).astype(np.float32) for s in shape]
+        V = build_dense_jit([jnp.asarray(w) for w in Ws_true])
+        if noise:
+            key = jax.random.PRNGKey(seed + 1)
+            nz = jax.random.uniform(key, shape, dtype=jnp.float32,
+                                    minval=-1.0, maxval=1.0)
+            nrm = jnp.linalg.norm(V.ravel())
+            V = V + nz * (noise * nrm / jnp.linalg.norm(nz.ravel()))
+        return V
+
+    configs = []
+    # coil-100-shaped random (the flagship real-data config)
+    configs.append(dict(name="coil_shape_f32", shape=(3, 128, 128, 7200),
+                        R=10, restol=0.1, kind="random", maxiter=maxiter))
+    # order-6 exact-rank r tensor (strong-scaling family, dim 6)
+    configs.append(dict(name=f"order6_s{s6}_r", shape=(s6,) * 6, R=R6,
+                        restol=0.1, kind="cp", maxiter=maxiter))
+    # order-6 noisy CP (slow ALS -> many sweeps; PP's favorite regime)
+    configs.append(dict(name=f"order6_s{s6}_c", shape=(s6,) * 6, R=R6,
+                        restol=0.1, kind="cp_noise", maxiter=maxiter))
+
+    out_path = "results/pp_e2e.json"
+    os.makedirs("results", exist_ok=True)
+    summary = {}
+    if os.path.exists(out_path):
+        summary = json.load(open(out_path))
+
+    for cfg_d in configs:
+        name = cfg_d["name"]
+        shape, R = cfg_d["shape"], cfg_d["R"]
+        print(f"[{name}] shape={shape} R={R}", flush=True)
+        if cfg_d["kind"] == "random":
+            key = jax.random.PRNGKey(0)
+            V = jax.random.uniform(key, shape, dtype=jnp.float32) * 255.0
+        elif cfg_d["kind"] == "cp":
+            V = make_device_cp_tensor(shape, R, seed=3)
+        else:
+            V = make_device_cp_tensor(shape, R, seed=5, noise=0.05)
+        Vn = float(jnp.sqrt(contract.norm_sq(V)))
+        W0 = cp.init_factors(shape, R, dtype=jnp.float32)
+        split, _ = native.plan_tree_split(shape, R)
+        if split == (len(shape) - 1) // 2:
+            split = None
+
+        common = dict(tol=1e-10 * Vn, pp_res_tol=cfg_d["restol"],
+                      maxiter=cfg_d["maxiter"], resprint=5,
+                      solver="svd", tree_split=split)
+        res_dt = cp.als_cp_dt(V, [jnp.array(w) for w in W0],
+                              cp.CPConfig(**common))
+        print(f"  DT : final diffV {res_dt.diffV:.6e} "
+              f"dtime {res_dt.history[-1]['dtime']:.3f}s "
+              f"iters {res_dt.iters}", flush=True)
+        res_pp = cp.als_cp_pp_fused(V, [jnp.array(w) for w in W0],
+                                    cp.CPConfig(**common), chunk=64)
+        print(f"  PP : final diffV {res_pp.diffV:.6e} "
+              f"dtime {res_pp.history[-1]['dtime']:.3f}s "
+              f"iters {res_pp.iters}", flush=True)
+
+        target = max(res_dt.diffV, res_pp.diffV) * 1.001
+        t_dt = time_to_fitness(res_dt.history, target)
+        t_pp = time_to_fitness(res_pp.history, target)
+        speedup = (t_dt / t_pp) if (t_dt and t_pp) else None
+        print(f"  target {target:.6e}: DT {t_dt} s, PP {t_pp} s, "
+              f"speedup {speedup}", flush=True)
+        summary[name] = dict(
+            shape=list(shape), rank=R, restol=cfg_d["restol"],
+            maxiter=cfg_d["maxiter"],
+            dt_final_diffV=res_dt.diffV, pp_final_diffV=res_pp.diffV,
+            dt_time_to_target=t_dt, pp_time_to_target=t_pp,
+            target_diffV=target, speedup=speedup,
+            dt_iters=res_dt.iters, pp_iters=res_pp.iters,
+            note="DT pipelined host driver (honest dtime, RTT-calibrated); "
+                 "PP fused device machine; identical init factors")
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        del V
+
+    # ---- PP_WINS.md ----
+    lines = [
+        "# PP vs DT: end-to-end time-to-equal-fitness (one TPU v5e chip)",
+        "",
+        "Both solvers start from identical factors; the fitness target is",
+        "the worse of the two final residuals (so both runs reached it).",
+        "DT is the pipelined host driver with honest dtime accounting",
+        "(queued sweeps drained before each excluded diagnostics window;",
+        "relay RTT calibrated out). PP is the fused device-resident",
+        "DT<->PP machine (`als_cp_pp_fused`): DT preconditioner sweeps,",
+        "cache builds, PP sweeps, restarts — one dispatch per ~64 sweeps.",
+        "Reference semantics: alsCP_PP (als_CP.cxx:1082-1137).",
+        "",
+        "| config | shape | rank | target diffV | DT time (s) | "
+        "PP time (s) | speedup |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, e in sorted(summary.items()):
+        sp = f"**{e['speedup']:.2f}x**" if e.get("speedup") else "n/a"
+        tdt = f"{e['dt_time_to_target']:.3f}" if e.get(
+            "dt_time_to_target") else "never"
+        tpp = f"{e['pp_time_to_target']:.3f}" if e.get(
+            "pp_time_to_target") else "never"
+        lines.append(
+            f"| {name} | {'x'.join(str(s) for s in e['shape'])} | "
+            f"{e['rank']} | {e['target_diffV']:.4e} | {tdt} | {tpp} | "
+            f"{sp} |")
+    lines += ["", f"Raw data: results/pp_e2e.json (maxiter, restol, iters "
+              "per run recorded there)."]
+    with open("results/PP_WINS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote results/PP_WINS.md")
+
+
+if __name__ == "__main__":
+    main()

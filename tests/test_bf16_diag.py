@@ -1,0 +1,89 @@
+"""bf16 diagnostics regression tests (VERDICT r2 weak #2).
+
+Round 2's device DT phase logged the exact-solve shortcut
+||V||^2 - sum(S o G) for diffV, which cancels catastrophically with
+bf16-stored V: results CSVs carried diffV = 0.0 rows and a
+final_rel_fitness of exactly 0.0 — a physically impossible perfect fit.
+Logged rows must now recompute (gradnorm, diffV) EXACTLY (fresh MTTKRP
+norm identity) in both device phases; these tests pin that.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pairwise_perturbation_tpu.models import cp
+from pairwise_perturbation_tpu.ops import contract
+from pairwise_perturbation_tpu.utils import synth
+
+
+def _problem(seed=5):
+    V = synth.make_tensor("r", dim=4, s=10, R=3, seed=seed, dtype=np.float64)
+    V16 = jnp.asarray(V, dtype=jnp.bfloat16)
+    Ws = cp.init_factors(V.shape, 3, dtype=jnp.float32)
+    return np.asarray(V), V16, Ws
+
+
+def test_dt_phase_device_bf16_logged_rows_are_exact():
+    V64, V16, W0 = _problem()
+    lam = jnp.asarray(0.0, jnp.float32)
+    resprint = 2
+    n_sweeps = 8
+    k, Ws2, dWs, gn, quiet, hist = cp.dt_phase_device(
+        V16, [jnp.array(w) for w in W0], lam,
+        jnp.asarray(1e-12, jnp.float32), jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(n_sweeps), None, jnp.asarray(0),
+        solver="svd", max_sweeps=n_sweeps + 1, resprint=resprint)
+    k = int(k)
+    assert k == n_sweeps
+    h = np.asarray(hist[:k])
+    # replay on host: sweep j of the phase corresponds to hist row j
+    Ws = [jnp.array(w) for w in W0]
+    for j in range(k):
+        Ws, _ = cp.dt_sweep(V16, Ws, lam, solver="svd")
+        if j % resprint != 0:
+            continue  # unlogged rows may use the cheap estimate
+        # exact residual of the replayed factors against the STORED
+        # (bf16-rounded) tensor values — the tensor the solver fits
+        V_stored = np.asarray(V16, dtype=np.float64)
+        exact = float(np.linalg.norm(
+            V_stored - np.asarray(contract.build_dense(
+                [jnp.asarray(w, jnp.float64) for w in Ws]))))
+        logged = float(h[j, 1])
+        assert logged > 0.0, f"row {j}: diffV clamped to zero"
+        assert abs(logged - exact) / exact < 0.05, (j, logged, exact)
+        # exact gradnorm on logged rows: positive and finite
+        assert np.isfinite(h[j, 0]) and h[j, 0] > 0.0
+
+
+def test_als_cp_pp_device_bf16_no_zero_diffV():
+    V64, V16, W0 = _problem(seed=7)
+    Vn = float(np.linalg.norm(V64))
+    cfg = cp.CPConfig(tol=1e-9 * Vn, pp_res_tol=0.1, maxiter=60, resprint=5)
+    res = cp.als_cp_pp_device(V16, W0, cfg)
+    assert res.history, "no rows logged"
+    for row in res.history:
+        assert row["diffV"] > 0.0, f"zero-clamped diffV at iter {row['iter']}"
+        assert np.isfinite(row["gradnorm"])
+    # gradnorm stays on one scale across phase transitions: no 1000x jumps
+    gns = [row["gradnorm"] for row in res.history
+           if np.isfinite(row["gradnorm"]) and row["iter"] > 0]
+    for a, b in zip(gns, gns[1:]):
+        if a > 0 and b > 0:
+            assert b / a < 200.0 and a / b < 1e5, (a, b)
+
+
+def test_host_pp_gradnorm_phase_consistent():
+    """Host-driven PP: logged gradnorm is the exact CP gradient at the
+    iterate, so DT-phase and PP-phase rows are directly comparable."""
+    V64, V16, W0 = _problem(seed=9)
+    Vn = float(np.linalg.norm(V64))
+    V32 = jnp.asarray(V64, dtype=jnp.float32)
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.2, maxiter=30, resprint=3)
+    res = cp.als_cp_pp(V32, [jnp.array(w) for w in W0], cfg)
+    rows = res.history
+    assert any(r["pp"] == 1 for r in rows)
+    for row in rows:
+        assert np.isfinite(row["gradnorm"])
+    gns = [r["gradnorm"] for r in rows if r["iter"] > 0]
+    for a, b in zip(gns, gns[1:]):
+        assert b / max(a, 1e-30) < 200.0, (a, b)

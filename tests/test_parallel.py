@@ -132,3 +132,158 @@ def test_sharded_dt_sweep_compiles_to_collectives(rng):
     for line in hlo.splitlines():
         if "all-gather" in line and full_v_shape in line:
             raise AssertionError(f"full V gathered: {line[:160]}")
+
+
+def test_sharded_tucker_matches_unsharded(rng):
+    """Tucker DT sweep + PP caches on a padded+sharded V match the
+    unsharded run (padding invisibility for mode Grams and TTMc)."""
+    from pairwise_perturbation_tpu.models import tucker
+    mesh = pmesh.make_mesh((8,), ("x",))
+    shape, ranks = (6, 9, 10, 5), (2, 3, 3, 2)
+    V = rng.standard_normal(shape)
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+
+    core_p, Ws_p = tucker.hosvd(jnp.asarray(V), ranks)
+    core_s, Ws_s = tucker.hosvd(Vs, ranks)
+    for m, (a, b) in enumerate(zip(Ws_s, Ws_p)):
+        got = np.asarray(a)[:shape[m], :]
+        np.testing.assert_allclose(np.abs(got), np.abs(np.asarray(b)),
+                                   rtol=1e-6, atol=1e-8)
+        # padded rows are zero
+        assert np.allclose(np.asarray(a)[shape[m]:, :], 0.0)
+    np.testing.assert_allclose(np.abs(np.asarray(core_s)),
+                               np.abs(np.asarray(core_p)),
+                               rtol=1e-6, atol=1e-8)
+
+    Ws1_p, core1_p = tucker.tucker_dt_sweep(jnp.asarray(V), list(Ws_p),
+                                            list(Ws_p), ranks=ranks,
+                                            use_sign=True)
+    Ws1_s, core1_s = tucker.tucker_dt_sweep(Vs, list(Ws_s), list(Ws_s),
+                                            ranks=ranks, use_sign=True)
+    for m, (a, b) in enumerate(zip(Ws1_s, Ws1_p)):
+        np.testing.assert_allclose(np.abs(np.asarray(a)[:shape[m], :]),
+                                   np.abs(np.asarray(b)),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_msdt_cycle_matches_unsharded(rng):
+    from pairwise_perturbation_tpu.models import optimizers as ppopt
+    mesh = pmesh.make_mesh((8,), ("x",))
+    shape, R = (6, 9, 16, 5), 3
+    V = rng.standard_normal(shape)
+    W0 = cp.init_factors(shape, R, dtype=jnp.float64)
+    lam = jnp.asarray(0.0)
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+    Wss = pmesh.shard_factors(W0, layout)
+    out_p, _ = ppopt.msdt_cycle(jnp.asarray(V), list(W0), lam,
+                                start_left=len(shape) - 1)
+    out_s, _ = ppopt.msdt_cycle(Vs, list(Wss), lam,
+                                start_left=len(shape) - 1)
+    for m, (a, b) in enumerate(zip(out_s, out_p)):
+        np.testing.assert_allclose(np.asarray(a)[:shape[m], :],
+                                   np.asarray(b), rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_fused_pp_matches_unsharded(rng):
+    shape = (6, 8, 8, 6)
+    Ws_true = [rng.random((s, 3)) for s in shape]
+    V = np.asarray(contract.build_dense([jnp.asarray(W) for W in Ws_true]))
+    W0 = cp.init_factors(shape, 3, dtype=jnp.float64)
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.1, maxiter=25, resprint=5)
+    res_plain = cp.als_cp_pp_fused(V, [jnp.array(w) for w in W0], cfg,
+                                   chunk=8)
+    mesh = pmesh.make_mesh((4, 2), ("x", "y"))
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+    Wss = pmesh.shard_factors(W0, layout)
+    res_shard = cp.als_cp_pp_fused(Vs, Wss, cfg, chunk=8)
+    np.testing.assert_allclose(res_shard.diffV, res_plain.diffV,
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_cli_mesh_tucker_and_run(tmp_path):
+    """-mesh is honored by the Tucker test_als branch and cmd_run."""
+    from pairwise_perturbation_tpu import cli
+    out = tmp_path / "t.csv"
+    rc = cli.main(["test_als", "-model", "Tucker", "-tensor", "r2",
+                   "-dim", "4", "-size", "12", "-rank", "3", "-maxiter", "6",
+                   "-resprint", "2", "-mesh", "8", "-quiet",
+                   "-filename", str(out)])
+    assert rc == 0
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) > 2
+    first, last = rows[1].split(","), rows[-1].split(",")
+    assert float(last[5]) <= float(first[5])  # diffV decreased
+
+    out2 = tmp_path / "r.csv"
+    rc = cli.main(["run", "-tensor", "r", "-dim", "4", "-size", "12",
+                   "-rank", "3", "-pp", "1", "-maxiter", "8", "-resprint",
+                   "2", "-mesh", "4x2", "-quiet", "-filename", str(out2)])
+    assert rc == 0
+    rows = out2.read_text().strip().splitlines()
+    assert len(rows) > 2
+    first, last = rows[1].split(","), rows[-1].split(",")
+    assert float(last[5]) <= float(first[5])
+
+
+def test_read_dense_sharded_with_axes_perm(tmp_path, rng):
+    """Permuted sharded-from-disk read: blocks match the dense
+    load+reverse+canonicalize path, and no shard holds the full tensor."""
+    from pairwise_perturbation_tpu.utils import io as ppio
+    file_shape = (12, 6, 10, 3)
+    arr = rng.standard_normal(file_shape)
+    path = tmp_path / "v.bin"
+    arr.astype("<f8").tofile(path)
+    # CTF order = reversed file shape; canonical perm on top
+    ctf_shape = tuple(reversed(file_shape))        # (3, 10, 6, 12)
+    perm = (1, 2, 0, 3)                            # arbitrary non-identity
+    final_shape = tuple(ctf_shape[p] for p in perm)
+    nd = len(file_shape)
+    axes = tuple(nd - 1 - perm[i] for i in range(nd))
+    mesh = pmesh.make_mesh((8,), ("x",))
+    layout = pmesh.plan_layout(final_shape, mesh)
+    V = ppio.read_dense_sharded(str(path), layout, out_dtype=np.float64,
+                                file_shape=file_shape, axes_perm=axes)
+    want = arr.transpose(tuple(reversed(range(nd)))).transpose(perm)
+    got = np.asarray(V)[tuple(slice(0, s) for s in final_shape)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # weak-scaling memory: every addressable shard is a strict subset
+    full = int(np.prod(layout.padded_shape))
+    for sh in V.addressable_shards:
+        assert int(np.prod(sh.data.shape)) < full
+
+
+def test_pp_sub_uses_constrained_caches(rng, monkeypatch):
+    """With cfg.mesh_layout set, the host PP solver builds its caches via
+    constrained_pp_caches and the pair caches carry the planned sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    shape = (6, 8, 8, 6)
+    Ws_true = [rng.random((s, 3)) for s in shape]
+    V = np.asarray(contract.build_dense([jnp.asarray(W) for W in Ws_true]))
+    W0 = cp.init_factors(shape, 3, dtype=jnp.float64)
+    mesh = pmesh.make_mesh((4, 2), ("x", "y"))
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+    Wss = pmesh.shard_factors(W0, layout)
+
+    calls = []
+    orig = pmesh.constrained_pp_caches
+
+    def spy(V, Ws, lay):
+        single, pair = orig(V, Ws, lay)
+        calls.append((single, pair))
+        return single, pair
+
+    monkeypatch.setattr(pmesh, "constrained_pp_caches", spy)
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.1, maxiter=20, resprint=10,
+                      mesh_layout=layout)
+    res = cp.als_cp_pp(Vs, Wss, cfg)
+    assert calls, "constrained_pp_caches never used by the solver"
+    single, pair = calls[0]
+    for (i, j), arr_c in pair.items():
+        want = NamedSharding(mesh, P(None, layout.mode_axis.get(i),
+                                     layout.mode_axis.get(j)))
+        assert arr_c.sharding.is_equivalent_to(want, arr_c.ndim), (i, j)
+    assert np.isfinite(res.diffV)
