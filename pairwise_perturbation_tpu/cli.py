@@ -202,7 +202,12 @@ def cmd_test_als(args) -> int:
                 print(f"resumed {len(Ws)} factors from {args.resume} "
                       f"(iteration {ck['iteration']})")
         else:
-            Ws = cp.init_factors(V.shape, args.rank,
+            # factors are initialized at the ORIGINAL mode sizes; for a
+            # sharded-from-disk (padded) V, shard_factors then zero-pads
+            # the rows — padding rows must be zero for the layout
+            # invariant (parallel/mesh.py), not random values
+            init_shape = pre_layout.orig_shape if pre_layout else V.shape
+            Ws = cp.init_factors(init_shape, args.rank,
                                  key=jax.random.PRNGKey(args.seed),
                                  dtype=_np_dtype(args.dtype))
         Vd, Ws, layout = _maybe_shard(V, Ws, args, pre_layout)
@@ -332,7 +337,8 @@ def cmd_run(args) -> int:
         from pairwise_perturbation_tpu.ops import contract as _ctr
         Vnorm = float(jnp.sqrt(_ctr.norm_sq(V)))
     order = V.ndim
-    Ws = cp.init_factors(V.shape, args.rank,
+    init_shape = pre_layout.orig_shape if pre_layout else V.shape
+    Ws = cp.init_factors(init_shape, args.rank,
                          key=jax.random.PRNGKey(args.seed),
                          dtype=_np_dtype(args.dtype))
     Vd, Ws, layout = _maybe_shard(
@@ -378,9 +384,9 @@ def cmd_pp_bench(args) -> int:
     plot = PlotFile(args.filename, PlotFile.BENCH_HEADER, echo=not args.quiet)
 
     if args.model == "CP":
-        W0 = cp.init_factors(V.shape, args.rank,
-                             key=jax.random.PRNGKey(args.seed),
-                             dtype=_np_dtype(args.dtype))
+        W0 = cp.init_factors(
+            pre_layout.orig_shape if pre_layout else V.shape, args.rank,
+            key=jax.random.PRNGKey(args.seed), dtype=_np_dtype(args.dtype))
         V, W0, _ = _maybe_shard(V, W0, args, pre_layout)
         lam = jnp.asarray(args.lam, dtype=V.dtype)
         split = _planned_split(args, V.shape)

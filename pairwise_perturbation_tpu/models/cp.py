@@ -298,13 +298,25 @@ def _as_list(Ws):
 
 
 def warm_compile(jfn, *args, **kwargs):
-    """AOT-compile a jitted function without executing it (no-op on
-    failure, e.g. for partials without .lower). Host drivers call this
-    inside the excluded-time window so one-time XLA compiles — tens of
-    seconds through a TPU relay — never land in reported dtime (the
-    reference's dtime has no compile analogue to pay)."""
+    """Warm a jitted function by EXECUTING it once (result discarded,
+    completion forced). Host drivers call this inside the excluded-time
+    window so one-time costs — trace, XLA compile (tens of seconds
+    through a TPU relay), persistent-cache deserialization — never land
+    in reported dtime (the reference's dtime has no compile analogue).
+
+    Execution, not ``.lower().compile()``: AOT-compiling does NOT
+    populate the jit dispatch cache, so the first real call would
+    re-trace and re-load the executable INSIDE dtime (~20x inflation on
+    short runs — observed on the round-3 coil e2e before this fix). The
+    one discarded execution costs a single sweep of device time, also
+    excluded. functools.partial wrappers are unwrapped.
+    """
+    while isinstance(jfn, partial):
+        args = jfn.args + args
+        kwargs = {**jfn.keywords, **kwargs}
+        jfn = jfn.func
     try:
-        jfn.lower(*args, **kwargs).compile()
+        _sync(jfn(*args, **kwargs))
     except Exception:
         pass
 
@@ -317,8 +329,13 @@ def _sync(x):
     queue drained, silently shifting sweep wait time into the excluded
     diagnostics window and undercounting dtime ~40x); a literal host pull
     of one element is an unambiguous queue drain on every backend.
+
+    The LAST leaf is pulled: TPU execution is in-order per device, so
+    draining the newest dispatch drains everything before it — pulling
+    the first leaf of a tuple like (older_out, newer_out) would not wait
+    for the newer dispatch.
     """
-    leaf = jax.tree_util.tree_leaves(x)[0]
+    leaf = jax.tree_util.tree_leaves(x)[-1]
     np.asarray(jax.device_get(leaf.ravel()[:1]))
     return x
 
@@ -476,16 +493,24 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
     update_size = max(int(order * cfg.update_percentage), 1) \
         if partial_update else order
 
-    with clock.exclude():
-        warm_compile(pp_build_caches, V, Ws)
-        if not partial_update:
-            try:
-                sp = jax.eval_shape(pp_build_caches, V, Ws)
-                ws_abs = [jax.ShapeDtypeStruct(w.shape, w.dtype) for w in Ws]
-                warm_compile(pp_sweep, sp[0], sp[1], ws_abs, ws_abs, ws_abs,
+    if not state.get("pp_warmed"):
+        # One-time (per solve, not per phase entry) compile warm-up: the
+        # warm cache build is kept and REUSED as the first in-loop build
+        # (the factors haven't changed between here and the loop's first
+        # build), so its cost is paid once — inside the excluded window.
+        with clock.exclude():
+            if cfg.mesh_layout is not None:
+                from pairwise_perturbation_tpu.parallel import mesh as pmesh
+                s_w, p_w = _sync(pmesh.constrained_pp_caches(
+                    V, Ws, cfg.mesh_layout))
+            else:
+                s_w, p_w = _sync(pp_build_caches(V, Ws))
+            if not partial_update:
+                zeros = [jnp.zeros_like(W) for W in Ws]
+                warm_compile(pp_sweep, s_w, p_w, list(Ws), list(Ws), zeros,
                              lam, cfg.ratio_step, solver=cfg.solver)
-            except Exception:
-                pass
+            state["warm_caches"] = (s_w, p_w)
+            state["pp_warmed"] = True
     while state["iter"] <= cfg.maxiter:
         it = state["iter"]
         num_dw_break = 0
@@ -497,7 +522,10 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                 return Ws, dWs, "restart"
             W_init = [W for W in Ws]
             dWs = [jnp.zeros_like(W) for W in Ws]
-            if cfg.mesh_layout is not None:
+            warm = state.pop("warm_caches", None)
+            if warm is not None:
+                single, pair = warm  # built from these exact factors
+            elif cfg.mesh_layout is not None:
                 from pairwise_perturbation_tpu.parallel import mesh as pmesh
                 single, pair = tracing.timed(
                     "cp.pp_cache_build", pmesh.constrained_pp_caches,
@@ -645,8 +673,9 @@ def _pp_sweep_norm_stats(V_norm_sq, single, pair, Ws, dWs, grads):
 @partial(jax.jit, static_argnames=("solver", "max_sweeps", "resprint",
                                    "root_split"))
 def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
-                    it0=0, *, solver: str = "svd", max_sweeps: int = 256,
-                    resprint: int = 0, root_split: int = None):
+                    it0=0, log_mark=-1, *, solver: str = "svd",
+                    max_sweeps: int = 256, resprint: int = 0,
+                    root_split: int = None):
     """Run DT sweeps on device until all modes are quiet
     (||dW||/||W|| < tol_init for every mode, alsCP_DT_sub:594-605),
     convergence (gradnorm < gn_tol), or the sweep budget.
@@ -672,7 +701,8 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
         quiet2 = jnp.all(jnp.abs(ratios) < tol_init)
         gn2, diffV = _sweep_norm_stats(V_norm_sq, Ws2, grads, lam)
         if resprint:
-            logged = jnp.mod(it0 + k, resprint) == 0
+            logged = (jnp.mod(it0 + k, resprint) == 0) \
+                | (it0 + k == log_mark)
             gn_l, diffV_l = jax.lax.cond(
                 logged, lambda _: _exact_row_stats(V, V_norm_sq, Ws2, lam),
                 lambda _: (gn2, diffV), None)
@@ -695,8 +725,9 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
 
 @partial(jax.jit, static_argnames=("solver", "max_sweeps", "resprint"))
 def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
-                    it0=0, layouts=None, *, solver: str = "svd",
-                    max_sweeps: int = 15, resprint: int = 0):
+                    it0=0, layouts=None, log_mark=-1, *,
+                    solver: str = "svd", max_sweeps: int = 15,
+                    resprint: int = 0):
     """Build PP caches and run PP sweeps on device until the restart
     tolerance trips (any ||dW||/||W|| > tol_init, alsCP_PP_sub:656-671),
     the 15-sweep cache cap, convergence, or the budget.
@@ -724,7 +755,8 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
         gn2, diffV = _pp_sweep_norm_stats(V_norm_sq, single, pair,
                                           list(Ws2), list(dWs2), grads)
         if resprint:
-            logged = jnp.mod(it0 + k, resprint) == 0
+            logged = (jnp.mod(it0 + k, resprint) == 0) \
+                | (it0 + k == log_mark)
             gn_l, diffV_l = jax.lax.cond(
                 logged, lambda _: _exact_row_stats(V, V_norm_sq, Ws2, lam),
                 lambda _: (gn2, diffV), None)
@@ -767,19 +799,22 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
 
     layouts = None
     if cfg.precompute_layouts:
-        modes = sorted(set(contract.chain_root_modes_dt(V.shape))
-                       | set(contract.chain_root_modes_pp(V.shape)))
+        modes = sorted(
+            set(contract.chain_root_modes_dt(V.shape, cfg.tree_split))
+            | set(contract.chain_root_modes_pp(V.shape)))
         layouts = contract.prepare_layouts(V, modes)
+    mark = jnp.asarray(cfg.maxiter)
 
     # trigger XLA compiles with zero sweep budgets (while_loop bodies are
     # compiled but never executed), then start the clock — keeps one-time
     # compile latency out of the reported dtime trajectory.
     _warm = dt_phase_device(V, Ws, lam, tol_init, gn_tol, jnp.asarray(0),
-                            layouts, jnp.asarray(0), solver=cfg.solver,
+                            layouts, jnp.asarray(0), mark,
+                            solver=cfg.solver,
                             max_sweeps=max_dt, resprint=cfg.resprint,
                             root_split=cfg.tree_split)
     _warm2 = pp_phase_device(V, Ws, lam, cfg.ratio_step, tol_init, gn_tol,
-                             jnp.asarray(0), jnp.asarray(0), layouts,
+                             jnp.asarray(0), jnp.asarray(0), layouts, mark,
                              solver=cfg.solver,
                              max_sweeps=cfg.pp_cache_sweeps,
                              resprint=cfg.resprint)
@@ -806,8 +841,8 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
         budget = jnp.asarray(cfg.maxiter + 1 - it)
         n, Ws, dWs, gn_d, quiet, hist = dt_phase_device(
             V, Ws, lam, tol_init, gn_tol, budget, layouts, jnp.asarray(it),
-            solver=cfg.solver, max_sweeps=max_dt, resprint=cfg.resprint,
-            root_split=cfg.tree_split)
+            mark, solver=cfg.solver, max_sweeps=max_dt,
+            resprint=cfg.resprint, root_split=cfg.tree_split)
         n = int(_host_pull(clock, n))
         t1 = clock.dtime()
         _log_phase(hist, n, 0, t0, t1)
@@ -818,7 +853,7 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
         budget = jnp.asarray(min(cfg.pp_cache_sweeps, cfg.maxiter + 1 - it))
         n, Ws, dWs, gn_d, hist = pp_phase_device(
             V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget,
-            jnp.asarray(it), layouts,
+            jnp.asarray(it), layouts, mark,
             solver=cfg.solver, max_sweeps=cfg.pp_cache_sweeps,
             resprint=cfg.resprint)
         n = int(_host_pull(clock, n))
@@ -906,7 +941,9 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
     def logged_stats(label, Ws2, gn_est, dv_est):
         if not resprint:
             return gn_est, dv_est
-        logged = jnp.mod(label, resprint) == 0
+        # the host logs rows where label % resprint == 0 AND the final
+        # (label == maxiter) row — both must carry exact stats
+        logged = (jnp.mod(label, resprint) == 0) | (label >= maxiter)
         return jax.lax.cond(
             logged, lambda _: _exact_row_stats(V, V_norm_sq, Ws2, lam),
             lambda _: (gn_est, dv_est), None)
@@ -998,8 +1035,9 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
     max_hist = cfg.maxiter + 2
     layouts = None
     if cfg.precompute_layouts:
-        modes = sorted(set(contract.chain_root_modes_dt(V.shape))
-                       | set(contract.chain_root_modes_pp(V.shape)))
+        modes = sorted(
+            set(contract.chain_root_modes_dt(V.shape, cfg.tree_split))
+            | set(contract.chain_root_modes_pp(V.shape)))
         layouts = contract.prepare_layouts(V, modes)
     statics = dict(solver=cfg.solver, chunk=chunk, resprint=cfg.resprint,
                    pp_cap=cfg.pp_cache_sweeps, max_hist=max_hist,
@@ -1008,8 +1046,14 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
     carry = pp_fused_init(V, Ws, max_hist)
     history: list = []
     with clock.exclude():
-        warm_compile(pp_fused_chunk, V, carry, lam, ratio_step, tol_init,
-                     gn_tol, maxiter, layouts, **statics)
+        # warm by executing on a STOPPED carry: the while_loop body (the
+        # whole DT/build/PP switch) compiles, zero iterations execute,
+        # and the solver state is untouched — same jit key as the real
+        # dispatches (chunk is static and identical).
+        warm_carry = carry[:10] + (jnp.asarray(True),) + carry[11:]
+        warm_compile(pp_fused_chunk, V, warm_carry, lam, ratio_step,
+                     tol_init, gn_tol, maxiter, layouts, **statics)
+        del warm_carry
         warm_compile(cp_diagnostics, V_norm_sq, V, Ws, lam)
         calibrate_rtt(clock, Ws[0])
 

@@ -486,6 +486,7 @@ class CPD(Decomposition):
         sweeps = 0.0
         diffV = float("inf")
         history = []
+        compile_excludes_left = 3 * self.order
         from pairwise_perturbation_tpu.models.cp import (_sync_counted,
                                                          calibrate_rtt,
                                                          cp_diagnostics)
@@ -497,7 +498,9 @@ class CPD(Decomposition):
                 _sync_counted(clock, self.optimizer.W)
                 with clock.exclude():
                     W = self.optimizer.W
-                    gn, dV = cp_diagnostics(V_norm_sq, V, W)
+                    lam_d = jnp.asarray(self.optimizer.lam,
+                                        dtype=W[0].dtype)
+                    gn, dV = cp_diagnostics(V_norm_sq, V, W, lam_d)
                     self.gradnorm, diffV = float(gn), float(dV)
                 dtime = clock.dtime()
                 if plot is not None:
@@ -513,14 +516,30 @@ class CPD(Decomposition):
             fn = self.optimizer.step_cycle if macro_step \
                 else self.optimizer.step
             if tracing.enabled():
-                # sync on the updated factors, not the float return value
-                import jax as _jax
+                from pairwise_perturbation_tpu.models.cp import _sync
                 with tracing.timer(f"{name}.{'step_cycle' if macro_step else 'step'}"):
                     ds = fn()
-                    _jax.block_until_ready(self.optimizer.W)
+                    _sync(self.optimizer.W)
                 sweeps += ds
             else:
+                # Rotating-tree optimizers (MSDT family) lazily compile a
+                # distinct jit key per hold-out position, so compiles can
+                # strike mid-run. Dispatch is async: synchronous host
+                # time beyond 50 ms on a step is trace/compile — exclude
+                # it from dtime (the reference pays no compile). The
+                # exclusion is CAPPED at ~3 compiles per mode: once the
+                # jit caches are hot, a long host block means the
+                # dispatch queue is full of real device work and MUST be
+                # counted (misclassifying it would undercount dtime, the
+                # round-2 bug in the other direction).
+                import time as _time
+                t0 = _time.perf_counter()
                 sweeps += fn()
+                el = _time.perf_counter() - t0
+                budget = compile_excludes_left
+                if el > 0.05 and budget > 0:
+                    clock.st_time += el
+                    compile_excludes_left -= 1
             self.W = self.optimizer.W
             iters += 1
         self.history = history

@@ -444,16 +444,18 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
     single = pair = None
     from pairwise_perturbation_tpu.models.cp import factor_norm_ratios, \
         warm_compile
-    with clock.exclude():
-        warm_compile(tucker_build_caches, V, Ws)
-        try:
-            sp = jax.eval_shape(tucker_build_caches, V, Ws)
-            ws_abs = [jax.ShapeDtypeStruct(w.shape, w.dtype) for w in Ws]
-            warm_compile(tucker_pp_sweep, sp[0], sp[1], ws_abs, ws_abs,
-                         ws_abs, ranks=ranks,
+    if not state.get("pp_warmed"):
+        # one-time per solve; the warm build is reused as the first
+        # in-loop build (factors unchanged in between) — see models/cp.py
+        with clock.exclude():
+            from pairwise_perturbation_tpu.models.cp import _sync
+            s_w, p_w = _sync(tucker_build_caches(V, Ws))
+            zeros = [jnp.zeros_like(W) for W in Ws]
+            warm_compile(tucker_pp_sweep, s_w, p_w, list(Ws), list(Ws),
+                         zeros, ranks=ranks,
                          subspace_iters=cfg.subspace_iters)
-        except Exception:
-            pass
+            state["warm_caches"] = (s_w, p_w)
+            state["pp_warmed"] = True
     while state["iter"] <= cfg.maxiter:
         it = state["iter"]
         num_dw_break = 0
@@ -466,8 +468,12 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "restart"
             W_init = [W for W in Ws]
             dWs = [jnp.zeros_like(W) for W in Ws]
-            single, pair = tracing.timed("tucker.pp_cache_build",
-                                         tucker_build_caches, V, Ws)
+            warm = state.pop("warm_caches", None)
+            if warm is not None:
+                single, pair = warm  # built from these exact factors
+            else:
+                single, pair = tracing.timed("tucker.pp_cache_build",
+                                             tucker_build_caches, V, Ws)
         if (it % cfg.resprint == 0 and it != 0) or it == 1 \
                 or it == cfg.maxiter or it == init_iter:
             core, cn, diffnorm, diffV, dtime = _diag_and_log(

@@ -84,7 +84,8 @@ def main():
         target = max(fw_final, base_final)  # both demonstrably reach it
         t_fw, it_fw = time_to_fitness(fw, target * 1.0000001)
         t_b, it_b = time_to_fitness(base, target * 1.0000001)
-        speedup = (t_b / t_fw) if (t_fw and t_b and t_fw > 0) else None
+        speedup = (t_b / t_fw) \
+            if (t_b is not None and t_fw) else None
         out_rows.append(dict(
             label=label, target_fitness=target,
             fw_final=fw_final, base_final=base_final,
@@ -119,11 +120,62 @@ def main():
         sp = f"**{r['speedup']:.0f}x**" if r["speedup"] else "n/a"
         md.append(f"| {r['label']} | {r['target_fitness']:.4e} | {fw_s} "
                   f"| {b_s} | {sp} |")
+    # ---- PP vs DT inside the framework (the flagship comparison; the
+    # CPU-baseline speedups above deliberately do NOT answer it) ----
+    ppdt_pairs = [
+        ("coil CP f32", "real_coil_cp_pp0_rt0.1_f32.csv",
+         "real_coil_cp_pp1_rt0.1_f32.csv"),
+        ("coil CP bf16-V", "real_coil_cp_pp0_rt0.1_bf16.csv",
+         "real_coil_cp_pp1_rt0.1_bf16.csv"),
+        ("time-lapse CP f32", "real_timelapse_cp_pp0_rt0.1_f32.csv",
+         "real_timelapse_cp_pp1_rt0.1_f32.csv"),
+        ("time-lapse CP bf16-V", "real_timelapse_cp_pp0_rt0.1_bf16.csv",
+         "real_timelapse_cp_pp1_rt0.1_bf16.csv"),
+    ]
+    ppdt_rows = []
+    for label, dt_csv, pp_csv in ppdt_pairs:
+        dp, pp_p = (os.path.join(RESULTS, dt_csv),
+                    os.path.join(RESULTS, pp_csv))
+        if not (os.path.exists(dp) and os.path.exists(pp_p)):
+            continue
+        dt_rows, pp_rows = read_csv(dp), read_csv(pp_p)
+        if not dt_rows or not pp_rows:
+            continue
+        dt_final = min(r["diffV"] for r in dt_rows
+                       if np.isfinite(r["diffV"]))
+        pp_final = min(r["diffV"] for r in pp_rows
+                       if np.isfinite(r["diffV"]))
+        target = max(dt_final, pp_final) * 1.0000001
+        t_dt, it_dt = time_to_fitness(dt_rows, target)
+        t_pp, it_pp = time_to_fitness(pp_rows, target)
+        sp = (t_dt / t_pp) \
+            if (t_dt is not None and t_pp) else None
+        ppdt_rows.append(dict(label=label, target=target, dt_seconds=t_dt,
+                              pp_seconds=t_pp, dt_iters=it_dt,
+                              pp_iters=it_pp, speedup=sp))
+    if ppdt_rows:
+        md += ["", "## PP vs DT on the same chip (time-to-equal-fitness)",
+               "",
+               "DT = pipelined host driver; PP = fused device machine "
+               "(`als_cp_pp_fused`). Same init factors, honest dtime.",
+               "",
+               "| config | target diffV | DT s (iters) | PP s (iters) | "
+               "PP speedup |",
+               "|---|---|---|---|---|"]
+        for r in ppdt_rows:
+            dts = f"{r['dt_seconds']:.2f} ({r['dt_iters']})" \
+                if r["dt_seconds"] is not None else "never"
+            pps = f"{r['pp_seconds']:.2f} ({r['pp_iters']})" \
+                if r["pp_seconds"] is not None else "never"
+            sp = f"**{r['speedup']:.2f}x**" if r["speedup"] else "n/a"
+            md.append(f"| {r['label']} | {r['target']:.4e} | {dts} | "
+                      f"{pps} | {sp} |")
     md.append("")
     with open(os.path.join(RESULTS, "REAL_DATA.md"), "w") as f:
         f.write("\n".join(md))
+    out = dict(vs_baseline=out_rows, pp_vs_dt=ppdt_rows)
     with open(os.path.join(RESULTS, "REAL_DATA.json"), "w") as f:
-        json.dump(out_rows, f, indent=1)
+        json.dump(out, f, indent=1)
     print("\n".join(md))
 
 

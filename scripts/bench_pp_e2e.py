@@ -138,7 +138,8 @@ def main():
         target = max(res_dt.diffV, res_pp.diffV) * 1.001
         t_dt = time_to_fitness(res_dt.history, target)
         t_pp = time_to_fitness(res_pp.history, target)
-        speedup = (t_dt / t_pp) if (t_dt and t_pp) else None
+        speedup = (t_dt / t_pp) \
+        if (t_dt is not None and t_pp) else None
         print(f"  target {target:.6e}: DT {t_dt} s, PP {t_pp} s, "
               f"speedup {speedup}", flush=True)
         summary[name] = dict(

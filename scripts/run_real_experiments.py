@@ -94,6 +94,10 @@ def main():
 
     # ---------------- CP grid ----------------
     R = 10
+    from pairwise_perturbation_tpu import native
+    split, _fl = native.plan_tree_split(tuple(V.shape), R)
+    if split == (V.ndim - 1) // 2:
+        split = None
     for vdt, tag in ((V, "f32"), (V16, "bf16")):
         for pp in (0, 1):
             restols = [0.1] if pp == 0 else [0.05, 0.1]
@@ -104,13 +108,15 @@ def main():
                 Ws = cp.init_factors(V.shape, R, dtype=jnp.float32)
                 cfg = cp.CPConfig(tol=1e-10 * Vnorm, pp_res_tol=rt,
                                   maxiter=maxiter, resprint=10,
-                                  solver="svd")
+                                  solver="svd", tree_split=split)
                 plot = PlotFile(f"results/{name}.csv", PlotFile.CP_HEADER,
                                 echo=False)
                 if pp == 0:
                     res = cp.als_cp_dt(vdt, Ws, cfg, plot)
                 else:
-                    res = cp.als_cp_pp_device(vdt, Ws, cfg, plot)
+                    # fused device-resident DT<->PP machine (one dispatch
+                    # per ~64 sweeps) — the flagship PP path
+                    res = cp.als_cp_pp_fused(vdt, Ws, cfg, plot)
                 plot.close()
                 record(name, res, "cp")
 
