@@ -824,7 +824,9 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
 
     def _log_phase(hist, n, pp_flag, t_start, t_end):
         nonlocal it, gn, diffV
-        h = np.asarray(hist[:n])
+        # full-buffer pull + host slice (a device slice of length n is a
+        # new compile per distinct n — the round-2 ~25 ms/phase overhead)
+        h = np.asarray(jax.device_get(hist))[:n]
         for row_i in range(n):
             dt_row = t_start + (t_end - t_start) * (row_i + 1) / max(n, 1)
             gn, diffV = float(h[row_i, 0]), float(h[row_i, 1])
@@ -1075,7 +1077,12 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
         stop = bool(_host_pull(clock, carry[10]))
         t_now = clock.dtime()
         if it_now > prev_it:
-            rows = _host_pull(clock, carry[11][prev_it + 1:it_now + 1])
+            # pull the FULL fixed-shape hist buffer and slice on host: a
+            # device-side slice has a different shape every chunk, and
+            # each new shape is a fresh XLA compile through the relay
+            # (seconds, inside dtime)
+            rows_all = _host_pull(clock, carry[11])
+            rows = rows_all[prev_it + 1:it_now + 1]
             for off, label in enumerate(range(prev_it + 1, it_now + 1)):
                 frac = (off + 1) / (it_now - prev_it)
                 dt_row = t_prev + (t_now - t_prev) * frac

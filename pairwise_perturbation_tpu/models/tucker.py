@@ -674,7 +674,8 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
 
     def _log(hist, n, pp_flag, t0, t1):
         nonlocal it, dn, diffV
-        h = np.asarray(hist[:n])
+        # full-buffer pull + host slice (device slices recompile per n)
+        h = np.asarray(jax.device_get(hist))[:n]
         for i in range(n):
             dn, diffV = float(h[i, 0]), float(h[i, 1])
             dt_row = t0 + (t1 - t0) * (i + 1) / max(n, 1)
