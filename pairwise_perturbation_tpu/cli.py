@@ -259,7 +259,9 @@ def cmd_test_als(args) -> int:
         if args.pp == 0:
             res = tucker.als_tucker(Vd, ranks, cfg, plot)
         else:
-            if args.device_loop:
+            if args.device_loop >= 2:
+                res = tucker.als_tucker_pp_fused(Vd, ranks, cfg, plot)
+            elif args.device_loop:
                 res = tucker.als_tucker_pp_device(Vd, ranks, cfg, plot)
             else:
                 res = tucker.als_tucker_pp(Vd, ranks, cfg, plot)

@@ -717,3 +717,238 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         if tol_init > cfg.tol_init_floor:
             tol_init *= cfg.tol_init_decay
     return TuckerResult(Ws, core, dn, diffV, it, dn < cfg.tol, history)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused device-resident Tucker solver (single dispatch per chunk) —
+# the Tucker analogue of cp.pp_fused_chunk: the whole alsTucker_PP outer
+# machine (DT sweeps with sign-fixing, TTMc cache builds, PP sweeps,
+# restart tolerance, tol_init decay) inside one lax.while_loop with a
+# 3-way phase switch. Reference: alsTucker_PP (als_Tucker.cxx:906-962).
+# ---------------------------------------------------------------------------
+
+
+def _tucker_pair_keys(order: int):
+    return [(i, j) for i in range(order) for j in range(i + 1, order)]
+
+
+def tucker_fused_init(V, Ws, ranks, max_hist: int):
+    """Initial carry for :func:`tucker_fused_chunk`."""
+    order = V.ndim
+    dtype = Ws[0].dtype
+    zeros = tuple(jnp.zeros_like(W) for W in Ws)
+
+    def cache_shape(keep):
+        return tuple(V.shape[m] if m in keep else ranks[m]
+                     for m in range(order))
+
+    single0 = tuple(jnp.zeros(cache_shape((i,)), dtype)
+                    for i in range(order))
+    pair0 = tuple(jnp.zeros(cache_shape((i, j)), dtype)
+                  for (i, j) in _tucker_pair_keys(order))
+    core0 = contract.ttmc(V, list(Ws), skip_mode=-1)
+    hist0 = jnp.zeros((max_hist, 3), dtype)
+    return (jnp.asarray(0),                    # it
+            jnp.asarray(0),                    # phase 0 DT / 1 build / 2 PP
+            jnp.asarray(0),                    # cache_age
+            tuple(Ws), zeros, zeros, tuple(Ws),  # Ws, W_prev, dWs, W_init
+            single0, pair0,
+            jnp.linalg.norm(core0.ravel()),    # cn_prev
+            jnp.asarray(jnp.inf, dtype),       # dn
+            core0,
+            jnp.asarray(False),                # stop
+            hist0)
+
+
+@partial(jax.jit, static_argnames=("ranks", "subspace_iters", "chunk",
+                                   "resprint", "pp_cap", "max_hist"))
+def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
+                       decay, floor, *, ranks: Tuple[int, ...],
+                       subspace_iters: int = 0, chunk: int = 64,
+                       resprint: int = 1, pp_cap: int = 15,
+                       max_hist: int = 512):
+    """Advance the fused Tucker DT<->PP machine by up to ``chunk`` steps.
+
+    tol_init decays by ``decay`` (to ``floor``) on each PP->DT
+    transition, the fused equivalent of the outer-loop decay
+    (als_Tucker.cxx:947-948); it rides in the carry's hist slot via a
+    small extension: the machine keeps it as part of the traced state
+    tuple (appended below).
+    """
+    order = V.ndim
+    V_norm_sq = contract.norm_sq(V)
+    keys = _tucker_pair_keys(order)
+
+    def write_hist(hist, label, dn_l, dv_l, ppflag):
+        idx = jnp.minimum(label, max_hist - 1)
+        return hist.at[idx].set(
+            jnp.stack([dn_l, dv_l, jnp.asarray(ppflag, dn_l.dtype)]))
+
+    def exact_cn(Ws2):
+        return jnp.linalg.norm(
+            contract.ttmc(V, list(Ws2), skip_mode=-1).ravel())
+
+    def logged_cn(label, Ws2, cn_est):
+        if not resprint:
+            return cn_est
+        logged = (jnp.mod(label, resprint) == 0) | (label >= maxiter)
+        return jax.lax.cond(logged, lambda _: exact_cn(Ws2),
+                            lambda _: cn_est, None)
+
+    from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+
+    def dt_branch(st):
+        (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
+         dn, core, stop, hist, tol_init) = st
+        Ws2, core2 = tucker_dt_sweep(V, list(Ws), list(W_prev), ranks=ranks,
+                                     use_sign=True,
+                                     subspace_iters=subspace_iters)
+        dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
+        ratios = factor_norm_ratios(list(Ws2), list(dWs2))
+        quiet = jnp.all(jnp.abs(ratios) < tol_init)
+        it2 = it + 1
+        cn = logged_cn(it2, Ws2, jnp.linalg.norm(core2.ravel()))
+        dn2 = jnp.abs(cn - cn_prev)
+        diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
+        hist2 = write_hist(hist, it2, dn2, diffV, 0.0)
+        stop2 = (dn2 < diff_tol) | (it2 > maxiter)
+        phase2 = jnp.where(quiet & ~stop2, 1, 0)
+        return (it2, phase2, age, tuple(Ws2), tuple(Ws2), dWs2, W_init,
+                single, pair_t, cn, dn2, core2, stop2, hist2, tol_init)
+
+    def build_branch(st):
+        (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
+         dn, core, stop, hist, tol_init) = st
+        s_d, p_d = contract.build_ttmc_caches(V, list(Ws))
+        single2 = tuple(s_d[i] for i in range(order))
+        pair2 = tuple(p_d[k] for k in keys)
+        zeros = tuple(jnp.zeros_like(W) for W in Ws)
+        return (it, jnp.asarray(2), jnp.asarray(0), Ws, W_prev, zeros,
+                tuple(Ws), single2, pair2, cn_prev, dn, core, stop, hist,
+                tol_init)
+
+    def pp_branch(st):
+        (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
+         dn, core, stop, hist, tol_init) = st
+        p_d = {k: p for k, p in zip(keys, pair_t)}
+        Ws2, dWs2, core2 = tucker_pp_sweep(single, p_d, list(Ws),
+                                           list(W_init), list(dWs),
+                                           ranks=ranks,
+                                           subspace_iters=subspace_iters)
+        ratios = factor_norm_ratios(list(Ws2), list(dWs2))
+        broke = jnp.any(jnp.abs(ratios) > tol_init)
+        age2 = age + 1
+        it2 = it + 1
+        cn = logged_cn(it2, Ws2, jnp.linalg.norm(core2.ravel()))
+        dn2 = jnp.abs(cn - cn_prev)
+        diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
+        hist2 = write_hist(hist, it2, dn2, diffV, 1.0)
+        stop2 = (dn2 < diff_tol) | (it2 > maxiter)
+        to_dt = broke | (age2 >= pp_cap)
+        phase2 = jnp.where(to_dt, 0, 2)
+        W_prev2 = tuple(jnp.where(to_dt, jnp.zeros_like(w), wp)
+                        for w, wp in zip(Ws2, W_prev))
+        # tol_init decay on PP->DT (als_Tucker.cxx:947-948)
+        tol2 = jnp.where(to_dt & (tol_init > floor), tol_init * decay,
+                         tol_init)
+        return (it2, phase2, age2, tuple(Ws2), W_prev2, tuple(dWs2),
+                W_init, single, pair_t, cn, dn2, core2, stop2, hist2, tol2)
+
+    def body(c):
+        k, st = c
+        st2 = jax.lax.switch(st[1], [dt_branch, build_branch, pp_branch], st)
+        return k + 1, st2
+
+    def cond(c):
+        k, st = c
+        return (k < chunk) & jnp.logical_not(st[12])
+
+    assert len(carry) == 15, len(carry)  # tucker_fused_init + (tol_init,)
+    _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0), carry))
+    return out
+
+
+def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
+                        plot: Optional[PlotFile] = None,
+                        Ws: Optional[List] = None,
+                        clock: Optional[SweepClock] = None,
+                        chunk: int = 64) -> TuckerResult:
+    """Fully-fused device-resident Tucker DT <-> PP solver: one dispatch
+    per ``chunk`` sweeps (cf. cp.als_cp_pp_fused)."""
+    from pairwise_perturbation_tpu.models.cp import (_host_pull, _sync,
+                                                    calibrate_rtt,
+                                                    warm_compile)
+    V = jnp.asarray(V)
+    ranks = tuple(int(r) for r in ranks)
+    V_norm_sq = contract.norm_sq(V)
+    if Ws is None:
+        core, Ws = tracing.timed("tucker.hosvd", hosvd, V, ranks)
+    else:
+        Ws = [jnp.asarray(W) for W in Ws]
+        core = contract.ttmc(V, Ws, skip_mode=-1)
+    clock = clock or SweepClock()
+    dtype = Ws[0].dtype
+    max_hist = cfg.maxiter + 2
+    tol_init0 = jnp.asarray(cfg.pp_res_tol, dtype)
+    diff_tol = jnp.asarray(cfg.tol, dtype)
+    maxiter = jnp.asarray(cfg.maxiter)
+    decay = jnp.asarray(cfg.tol_init_decay, dtype)
+    floor = jnp.asarray(cfg.tol_init_floor, dtype)
+    statics = dict(ranks=ranks, subspace_iters=cfg.subspace_iters,
+                   chunk=chunk, resprint=cfg.resprint, pp_cap=15,
+                   max_hist=max_hist)
+
+    carry = tucker_fused_init(V, Ws, ranks, max_hist) + (tol_init0,)
+    history: list = []
+    with clock.exclude():
+        warm_carry = carry[:12] + (jnp.asarray(True),) + carry[13:]
+        warm_compile(tucker_fused_chunk, V, warm_carry, tol_init0, diff_tol,
+                     maxiter, decay, floor, **statics)
+        del warm_carry
+        calibrate_rtt(clock, Ws[0])
+
+    cn0 = float(jnp.linalg.norm(np.asarray(core).ravel()))
+    dv0 = float(np.sqrt(max(float(V_norm_sq) - cn0 * cn0, 0.0)))
+    dn = float("inf")
+    diffV = dv0
+    if plot is not None:
+        plot.row(V.shape[0], 0, dn, cfg.tol, 0, dv0, clock.dtime())
+    history.append(dict(iter=0, diffnorm=dn, diffV=dv0,
+                        dtime=clock.dtime(), pp=0))
+
+    prev_it = 0
+    t_prev = clock.dtime()
+    while True:
+        carry = tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
+                                   decay, floor, **statics)
+        it_now = int(_host_pull(clock, carry[0]))
+        stop = bool(_host_pull(clock, carry[12]))
+        t_now = clock.dtime()
+        if it_now > prev_it:
+            rows_all = _host_pull(clock, carry[13])
+            rows = rows_all[prev_it + 1:it_now + 1]
+            for off, label in enumerate(range(prev_it + 1, it_now + 1)):
+                frac = (off + 1) / (it_now - prev_it)
+                dt_row = t_prev + (t_now - t_prev) * frac
+                dn, diffV = float(rows[off, 0]), float(rows[off, 1])
+                ppf = int(rows[off, 2] > 0.5)
+                if label % cfg.resprint == 0 or label == cfg.maxiter:
+                    if plot is not None:
+                        plot.row(V.shape[0], label, dn, cfg.tol, ppf, diffV,
+                                 dt_row)
+                    history.append(dict(iter=label, diffnorm=dn, diffV=diffV,
+                                        dtime=dt_row, pp=ppf))
+        if stop or it_now > cfg.maxiter or t_now > cfg.timelimit \
+                or it_now == prev_it:
+            prev_it = it_now
+            break
+        prev_it = it_now
+        t_prev = t_now
+    Ws_f = list(carry[3])
+    core_f = carry[11]
+    with clock.exclude():
+        cn_f = float(jnp.linalg.norm(contract.ttmc(
+            V, Ws_f, skip_mode=-1).ravel()))
+        diffV = float(np.sqrt(max(float(V_norm_sq) - cn_f * cn_f, 0.0)))
+    return TuckerResult(Ws_f, core_f, dn, diffV, prev_it, dn < cfg.tol,
+                        history)

@@ -61,10 +61,28 @@ def main():
     quick = "--quick" in sys.argv
     maxiter = 40 if quick else 250
     R6 = 6
-    s6 = 16 if quick else 32
+    # s=24: the largest order-6 size whose f32 tensor fits v5e HBM — TPU
+    # tiles pad the minor dim to 128 lanes, so a 32^6 f32 tensor occupies
+    # 4x its 4.3 GB logical size (17 GB > 15.75 GB HBM)
+    s6 = 16 if quick else 24
 
-    build_dense_jit = jax.jit(
-        lambda Ws: contract.build_dense([jnp.asarray(w) for w in Ws]))
+    @jax.jit
+    def build_dense_jit(Ws):
+        """CP tensor from factors via two Khatri-Rao halves and ONE
+        matmul: a direct order-N einsum makes XLA materialize the output
+        through a dot_general whose tiled layout padded 32^6 4x (16 GB,
+        OOM); the (s^3, s^3) matmul output reshapes cleanly."""
+        order = len(Ws)
+        h = order // 2
+        def kr(ws):
+            A = ws[0]
+            for w in ws[1:]:
+                A = (A[:, None, :] * w[None, :, :]).reshape(-1, A.shape[1])
+            return A
+        A = kr(Ws[:h])           # (prod(s[:h]), R)
+        B = kr(Ws[h:])           # (prod(s[h:]), R)
+        out = jnp.matmul(A, B.T, precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(tuple(w.shape[0] for w in Ws))
 
     def make_device_cp_tensor(shape, R, seed, noise=0.0, col=None):
         """Build a CP-structured tensor ON DEVICE (host RAM is the scarce

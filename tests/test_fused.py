@@ -70,3 +70,32 @@ def test_fused_bf16_no_zero_diffV():
     for row in res.history:
         assert row["diffV"] > 0.0
         assert np.isfinite(row["gradnorm"])
+
+
+def test_tucker_fused_converges(rng):
+    from pairwise_perturbation_tpu.models import tucker
+    shape, ranks = (8, 8, 8, 8), (3, 3, 3, 3)
+    core = rng.standard_normal(ranks)
+    Wt = [np.linalg.qr(rng.standard_normal((s, r)))[0]
+          for s, r in zip(shape, ranks)]
+    V = np.einsum("PQRS,aP,bQ,cR,dS->abcd", core, *Wt)
+    V = V + 0.02 * np.linalg.norm(V) / (np.prod(shape) ** 0.5) \
+        * rng.standard_normal(shape)
+    Vn = np.linalg.norm(V)
+    # tol=0: run to maxiter so the machine demonstrably cycles DT -> PP
+    # (this HOOI problem converges in ~2 sweeps otherwise)
+    cfg = tucker.TuckerConfig(tol=0.0, pp_res_tol=0.3, maxiter=40,
+                              resprint=1)
+    res = tucker.als_tucker_pp_fused(V, ranks, cfg, chunk=16)
+    assert np.isfinite(res.diffV)
+    assert any(h["pp"] == 1 for h in res.history), "no PP rows"
+    # fit comparable to the per-phase device machine
+    res_d = tucker.als_tucker_pp_device(
+        V, ranks, tucker.TuckerConfig(tol=1e-12 * Vn, pp_res_tol=0.3,
+                                      maxiter=40, resprint=2))
+    assert res.diffV < max(1.5 * res_d.diffV, 1e-5 * Vn)
+    # labels well-formed and dtime monotone
+    labels = [h["iter"] for h in res.history]
+    assert labels == sorted(labels) and labels[0] == 0
+    dts = [h["dtime"] for h in res.history]
+    assert all(b >= a for a, b in zip(dts, dts[1:]))
