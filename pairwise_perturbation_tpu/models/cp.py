@@ -892,7 +892,7 @@ def _pair_keys(order: int):
     return [(i, j) for i in range(order) for j in range(i + 1, order)]
 
 
-def pp_fused_init(V, Ws, max_hist: int):
+def pp_fused_init(V, Ws, max_hist: int, n_slots: int = 0):
     """Initial carry for :func:`pp_fused_chunk`."""
     order = V.ndim
     R = Ws[0].shape[1]
@@ -902,6 +902,8 @@ def pp_fused_init(V, Ws, max_hist: int):
     pair0 = tuple(jnp.zeros((R, V.shape[i], V.shape[j]), dtype)
                   for (i, j) in _pair_keys(order))
     hist0 = jnp.zeros((max_hist, 3), dtype)
+    snaps0 = tuple(jnp.zeros((max(n_slots, 1),) + W.shape, dtype)
+                   for W in Ws)
     return (jnp.asarray(0),              # it: completed sweeps
             jnp.asarray(0),              # phase: 0 DT / 1 build / 2 PP
             jnp.asarray(0),              # cache_age: PP sweeps since build
@@ -912,24 +914,32 @@ def pp_fused_init(V, Ws, max_hist: int):
             single0, pair0,              # PP caches
             jnp.asarray(jnp.inf, dtype),  # gn (per-sweep estimate)
             jnp.asarray(False),          # stop
-            hist0)                       # hist[it] = [gn, diffV, pp_flag]
+            hist0,                       # hist[it] = [gn, diffV, pp_flag]
+            snaps0,                      # factor snapshots on logged rows
+            jnp.zeros((max(n_slots, 1),), jnp.int32) - 1,  # snap labels
+            jnp.asarray(0))              # snap count
 
 
 @partial(jax.jit,
          static_argnames=("solver", "chunk", "resprint", "pp_cap",
-                          "max_hist", "root_split"))
+                          "max_hist", "root_split", "n_slots"))
 def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
                    layouts=None, *, solver: str = "svd", chunk: int = 64,
                    resprint: int = 10, pp_cap: int = 15, max_hist: int = 512,
-                   root_split: int = None):
+                   root_split: int = None, n_slots: int = 0):
     """Advance the fused DT<->PP machine by up to ``chunk`` body steps.
 
     History convention: the sweep taking ``it -> it+1`` writes
-    ``hist[it+1]`` = stats of the post-sweep state; rows the host will log
-    (label % resprint == 0) get EXACT (gradnorm, diffV) via lax.cond
-    (see :func:`_exact_row_stats`); the initial state's row 0 is written
-    by the host driver. Cache-build steps consume a body step but no
-    iteration. Returns the updated carry.
+    ``hist[it+1]`` = per-sweep ESTIMATE stats of the post-sweep state;
+    rows the host will log (label % resprint == 0, and label >= maxiter)
+    additionally snapshot the factors into the carry's ring buffer, and
+    the host computes EXACT (gradnorm, diffV) from the snapshots AFTER
+    the chunk, inside the excluded-diagnostics window — so the timed
+    solver path never pays the diagnostic MTTKRPs, exactly like the
+    reference's excluded-MPI_Wtime accounting (als_CP.cxx:474-482).
+    The initial state's row 0 is written by the host driver. Cache-build
+    steps consume a body step but no iteration. Returns the updated
+    carry.
     """
     order = V.ndim
     V_norm_sq = contract.norm_sq(V)
@@ -940,19 +950,24 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
         return hist.at[idx].set(
             jnp.stack([gn_l, dv_l, jnp.asarray(ppflag, gn_l.dtype)]))
 
-    def logged_stats(label, Ws2, gn_est, dv_est):
-        if not resprint:
-            return gn_est, dv_est
-        # the host logs rows where label % resprint == 0 AND the final
-        # (label == maxiter) row — both must carry exact stats
+    def maybe_snap(label, Ws2, snaps, snap_labels, snap_n):
+        """Snapshot the factors on rows the host will log."""
+        if not resprint or not n_slots:
+            return snaps, snap_labels, snap_n
         logged = (jnp.mod(label, resprint) == 0) | (label >= maxiter)
-        return jax.lax.cond(
-            logged, lambda _: _exact_row_stats(V, V_norm_sq, Ws2, lam),
-            lambda _: (gn_est, dv_est), None)
+
+        def write(args):
+            snaps, labels, n = args
+            idx = jnp.minimum(n, n_slots - 1)
+            snaps2 = tuple(s.at[idx].set(w) for s, w in zip(snaps, Ws2))
+            return snaps2, labels.at[idx].set(label.astype(jnp.int32)), n + 1
+
+        return jax.lax.cond(logged, write, lambda a: a,
+                            (snaps, snap_labels, snap_n))
 
     def dt_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, gn,
-         stop, hist) = st
+         stop, hist, snaps, snap_labels, snap_n) = st
         Ws2, grads = dt_sweep(V, list(Ws), lam, layouts, solver=solver,
                               root_split=root_split)
         dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
@@ -960,27 +975,29 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
         quiet = jnp.all(jnp.abs(ratios) < tol_init)
         gn2, dv2 = _sweep_norm_stats(V_norm_sq, Ws2, grads, lam)
         it2 = it + 1
-        gn_l, dv_l = logged_stats(it2, Ws2, gn2, dv2)
-        hist2 = write_hist(hist, it2, gn_l, dv_l, 0.0)
+        hist2 = write_hist(hist, it2, gn2, dv2, 0.0)
+        snaps2, labels2, n2 = maybe_snap(it2, Ws2, snaps, snap_labels,
+                                         snap_n)
         stop2 = (gn2 < gn_tol) | (it2 > maxiter)
         phase2 = jnp.where(quiet & ~stop2, 1, 0)
         return (it2, phase2, age, tuple(Ws2), tuple(Ws2), dWs2, W_init,
-                single, pair_t, gn2, stop2, hist2)
+                single, pair_t, gn2, stop2, hist2, snaps2, labels2, n2)
 
     def build_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, gn,
-         stop, hist) = st
+         stop, hist, snaps, snap_labels, snap_n) = st
         single_d, pair_d = contract.build_pp_caches(V, list(Ws),
                                                     layouts=layouts)
         single2 = tuple(single_d[i] for i in range(order))
         pair2 = tuple(pair_d[k] for k in keys)
         zeros = tuple(jnp.zeros_like(W) for W in Ws)
         return (it, jnp.asarray(2), jnp.asarray(0), Ws, W_prev, zeros,
-                tuple(Ws), single2, pair2, gn, stop, hist)
+                tuple(Ws), single2, pair2, gn, stop, hist, snaps,
+                snap_labels, snap_n)
 
     def pp_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, gn,
-         stop, hist) = st
+         stop, hist, snaps, snap_labels, snap_n) = st
         pair_d = {k: p for k, p in zip(keys, pair_t)}
         Ws2, dWs2, grads = pp_sweep(single, pair_d, list(Ws), list(W_init),
                                     list(dWs), lam, ratio_step,
@@ -991,8 +1008,9 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
         gn2, dv2 = _pp_sweep_norm_stats(V_norm_sq, single, pair_d,
                                         list(Ws2), list(dWs2), grads)
         it2 = it + 1
-        gn_l, dv_l = logged_stats(it2, Ws2, gn2, dv2)
-        hist2 = write_hist(hist, it2, gn_l, dv_l, 1.0)
+        hist2 = write_hist(hist, it2, gn2, dv2, 1.0)
+        snaps2, labels2, n2 = maybe_snap(it2, Ws2, snaps, snap_labels,
+                                         snap_n)
         stop2 = (gn2 < gn_tol) | (it2 > maxiter)
         to_dt = broke | (age2 >= pp_cap)
         phase2 = jnp.where(to_dt, 0, 2)
@@ -1001,7 +1019,8 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
         W_prev2 = tuple(jnp.where(to_dt, jnp.zeros_like(w), wp)
                         for w, wp in zip(Ws2, W_prev))
         return (it2, phase2, age2, tuple(Ws2), W_prev2, tuple(dWs2),
-                W_init, single, pair_t, gn2, stop2, hist2)
+                W_init, single, pair_t, gn2, stop2, hist2, snaps2,
+                labels2, n2)
 
     def body(c):
         k, st = c
@@ -1041,12 +1060,17 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
             set(contract.chain_root_modes_dt(V.shape, cfg.tree_split))
             | set(contract.chain_root_modes_pp(V.shape)))
         layouts = contract.prepare_layouts(V, modes)
+    n_slots = (cfg.maxiter // max(cfg.resprint, 1)) + 4
     statics = dict(solver=cfg.solver, chunk=chunk, resprint=cfg.resprint,
                    pp_cap=cfg.pp_cache_sweeps, max_hist=max_hist,
-                   root_split=cfg.tree_split)
+                   root_split=cfg.tree_split, n_slots=n_slots)
 
-    carry = pp_fused_init(V, Ws, max_hist)
     history: list = []
+    with clock.exclude():
+        # carry init is allocation-only, but on a cold process even the
+        # zeros-compile + first transfers are seconds through the relay
+        carry = pp_fused_init(V, Ws, max_hist, n_slots)
+        _sync(carry[3][0])
     with clock.exclude():
         # warm by executing on a STOPPED carry: the while_loop body (the
         # whole DT/build/PP switch) compiles, zero iterations execute,
@@ -1069,6 +1093,7 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
                         dtime=clock.dtime(), pp=0))
 
     prev_it = 0
+    prev_snap = 0
     t_prev = clock.dtime()
     while True:
         carry = pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol,
@@ -1082,12 +1107,32 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
             # each new shape is a fresh XLA compile through the relay
             # (seconds, inside dtime)
             rows_all = _host_pull(clock, carry[11])
+            # EXACT stats for the logged rows, from the factor snapshots
+            # the machine wrote on those rows — computed HERE, inside the
+            # excluded-diagnostics window, so the timed chunk never pays
+            # the diagnostic MTTKRPs (reference accounting,
+            # als_CP.cxx:474-482)
+            exact: dict = {}
+            with clock.exclude():
+                snap_n = int(np.asarray(carry[14]))
+                if snap_n > prev_snap:
+                    labels_all = np.asarray(carry[13])
+                    for slot in range(prev_snap, min(snap_n,
+                                                     len(labels_all))):
+                        Ws_s = [s[slot] for s in carry[12]]
+                        gn_s, dv_s = cp_diagnostics(V_norm_sq, V, Ws_s,
+                                                    lam)
+                        exact[int(labels_all[slot])] = (float(gn_s),
+                                                        float(dv_s))
+                    prev_snap = snap_n
             rows = rows_all[prev_it + 1:it_now + 1]
             for off, label in enumerate(range(prev_it + 1, it_now + 1)):
                 frac = (off + 1) / (it_now - prev_it)
                 dt_row = t_prev + (t_now - t_prev) * frac
                 gn, diffV = float(rows[off, 0]), float(rows[off, 1])
                 ppf = int(rows[off, 2] > 0.5)
+                if label in exact:
+                    gn, diffV = exact[label]
                 if label % cfg.resprint == 0 or label == cfg.maxiter:
                     if plot is not None:
                         plot.row(V.shape[0], label, gn, cfg.tol, ppf, diffV,

@@ -732,7 +732,7 @@ def _tucker_pair_keys(order: int):
     return [(i, j) for i in range(order) for j in range(i + 1, order)]
 
 
-def tucker_fused_init(V, Ws, ranks, max_hist: int):
+def tucker_fused_init(V, Ws, ranks, max_hist: int, n_slots: int = 0):
     """Initial carry for :func:`tucker_fused_chunk`."""
     order = V.ndim
     dtype = Ws[0].dtype
@@ -748,6 +748,8 @@ def tucker_fused_init(V, Ws, ranks, max_hist: int):
                   for (i, j) in _tucker_pair_keys(order))
     core0 = contract.ttmc(V, list(Ws), skip_mode=-1)
     hist0 = jnp.zeros((max_hist, 3), dtype)
+    snaps0 = tuple(jnp.zeros((max(n_slots, 1),) + W.shape, dtype)
+                   for W in Ws)
     return (jnp.asarray(0),                    # it
             jnp.asarray(0),                    # phase 0 DT / 1 build / 2 PP
             jnp.asarray(0),                    # cache_age
@@ -757,23 +759,34 @@ def tucker_fused_init(V, Ws, ranks, max_hist: int):
             jnp.asarray(jnp.inf, dtype),       # dn
             core0,
             jnp.asarray(False),                # stop
-            hist0)
+            hist0,
+            snaps0,                            # factor snaps on logged rows
+            jnp.zeros((max(n_slots, 1),), jnp.int32) - 1,  # snap labels
+            jnp.asarray(0))                    # snap count
 
 
 @partial(jax.jit, static_argnames=("ranks", "subspace_iters", "chunk",
-                                   "resprint", "pp_cap", "max_hist"))
+                                   "resprint", "pp_cap", "max_hist",
+                                   "n_slots"))
 def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
                        decay, floor, *, ranks: Tuple[int, ...],
                        subspace_iters: int = 0, chunk: int = 64,
                        resprint: int = 1, pp_cap: int = 15,
-                       max_hist: int = 512):
+                       max_hist: int = 512, n_slots: int = 0):
     """Advance the fused Tucker DT<->PP machine by up to ``chunk`` steps.
 
     tol_init decays by ``decay`` (to ``floor``) on each PP->DT
     transition, the fused equivalent of the outer-loop decay
-    (als_Tucker.cxx:947-948); it rides in the carry's hist slot via a
-    small extension: the machine keeps it as part of the traced state
-    tuple (appended below).
+    (als_Tucker.cxx:947-948); it rides as the last element of the traced
+    state tuple (appended by the driver).
+
+    Rows the host will log (label % resprint == 0, label >= maxiter)
+    snapshot the factors into the carry's ring buffer; the host computes
+    EXACT (core norm, diffV) from the snapshots AFTER the chunk inside
+    the excluded-diagnostics window, so the timed path never pays the
+    extra TTMc chain (reference excluded-MPI_Wtime accounting,
+    als_Tucker.cxx:167-186). In-loop stats are the sweep's own core-norm
+    estimate (exact in DT phases, PP-corrected during PP phases).
     """
     order = V.ndim
     V_norm_sq = contract.norm_sq(V)
@@ -784,22 +797,25 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         return hist.at[idx].set(
             jnp.stack([dn_l, dv_l, jnp.asarray(ppflag, dn_l.dtype)]))
 
-    def exact_cn(Ws2):
-        return jnp.linalg.norm(
-            contract.ttmc(V, list(Ws2), skip_mode=-1).ravel())
-
-    def logged_cn(label, Ws2, cn_est):
-        if not resprint:
-            return cn_est
+    def maybe_snap(label, Ws2, snaps, snap_labels, snap_n):
+        if not resprint or not n_slots:
+            return snaps, snap_labels, snap_n
         logged = (jnp.mod(label, resprint) == 0) | (label >= maxiter)
-        return jax.lax.cond(logged, lambda _: exact_cn(Ws2),
-                            lambda _: cn_est, None)
+
+        def write(args):
+            snaps, labels, n = args
+            idx = jnp.minimum(n, n_slots - 1)
+            snaps2 = tuple(s.at[idx].set(w) for s, w in zip(snaps, Ws2))
+            return snaps2, labels.at[idx].set(label.astype(jnp.int32)), n + 1
+
+        return jax.lax.cond(logged, write, lambda a: a,
+                            (snaps, snap_labels, snap_n))
 
     from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
 
     def dt_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
-         dn, core, stop, hist, tol_init) = st
+         dn, core, stop, hist, snaps, snap_labels, snap_n, tol_init) = st
         Ws2, core2 = tucker_dt_sweep(V, list(Ws), list(W_prev), ranks=ranks,
                                      use_sign=True,
                                      subspace_iters=subspace_iters)
@@ -807,29 +823,32 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         quiet = jnp.all(jnp.abs(ratios) < tol_init)
         it2 = it + 1
-        cn = logged_cn(it2, Ws2, jnp.linalg.norm(core2.ravel()))
+        cn = jnp.linalg.norm(core2.ravel())
         dn2 = jnp.abs(cn - cn_prev)
         diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
         hist2 = write_hist(hist, it2, dn2, diffV, 0.0)
+        snaps2, labels2, n2 = maybe_snap(it2, Ws2, snaps, snap_labels,
+                                         snap_n)
         stop2 = (dn2 < diff_tol) | (it2 > maxiter)
         phase2 = jnp.where(quiet & ~stop2, 1, 0)
         return (it2, phase2, age, tuple(Ws2), tuple(Ws2), dWs2, W_init,
-                single, pair_t, cn, dn2, core2, stop2, hist2, tol_init)
+                single, pair_t, cn, dn2, core2, stop2, hist2, snaps2,
+                labels2, n2, tol_init)
 
     def build_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
-         dn, core, stop, hist, tol_init) = st
+         dn, core, stop, hist, snaps, snap_labels, snap_n, tol_init) = st
         s_d, p_d = contract.build_ttmc_caches(V, list(Ws))
         single2 = tuple(s_d[i] for i in range(order))
         pair2 = tuple(p_d[k] for k in keys)
         zeros = tuple(jnp.zeros_like(W) for W in Ws)
         return (it, jnp.asarray(2), jnp.asarray(0), Ws, W_prev, zeros,
                 tuple(Ws), single2, pair2, cn_prev, dn, core, stop, hist,
-                tol_init)
+                snaps, snap_labels, snap_n, tol_init)
 
     def pp_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
-         dn, core, stop, hist, tol_init) = st
+         dn, core, stop, hist, snaps, snap_labels, snap_n, tol_init) = st
         p_d = {k: p for k, p in zip(keys, pair_t)}
         Ws2, dWs2, core2 = tucker_pp_sweep(single, p_d, list(Ws),
                                            list(W_init), list(dWs),
@@ -839,10 +858,12 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         broke = jnp.any(jnp.abs(ratios) > tol_init)
         age2 = age + 1
         it2 = it + 1
-        cn = logged_cn(it2, Ws2, jnp.linalg.norm(core2.ravel()))
+        cn = jnp.linalg.norm(core2.ravel())
         dn2 = jnp.abs(cn - cn_prev)
         diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
         hist2 = write_hist(hist, it2, dn2, diffV, 1.0)
+        snaps2, labels2, n2 = maybe_snap(it2, Ws2, snaps, snap_labels,
+                                         snap_n)
         stop2 = (dn2 < diff_tol) | (it2 > maxiter)
         to_dt = broke | (age2 >= pp_cap)
         phase2 = jnp.where(to_dt, 0, 2)
@@ -852,7 +873,8 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         tol2 = jnp.where(to_dt & (tol_init > floor), tol_init * decay,
                          tol_init)
         return (it2, phase2, age2, tuple(Ws2), W_prev2, tuple(dWs2),
-                W_init, single, pair_t, cn, dn2, core2, stop2, hist2, tol2)
+                W_init, single, pair_t, cn, dn2, core2, stop2, hist2,
+                snaps2, labels2, n2, tol2)
 
     def body(c):
         k, st = c
@@ -863,7 +885,7 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         k, st = c
         return (k < chunk) & jnp.logical_not(st[12])
 
-    assert len(carry) == 15, len(carry)  # tucker_fused_init + (tol_init,)
+    assert len(carry) == 18, len(carry)  # tucker_fused_init + (tol_init,)
     _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0), carry))
     return out
 
@@ -894,12 +916,19 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
     maxiter = jnp.asarray(cfg.maxiter)
     decay = jnp.asarray(cfg.tol_init_decay, dtype)
     floor = jnp.asarray(cfg.tol_init_floor, dtype)
+    n_slots = (cfg.maxiter // max(cfg.resprint, 1)) + 4
     statics = dict(ranks=ranks, subspace_iters=cfg.subspace_iters,
                    chunk=chunk, resprint=cfg.resprint, pp_cap=15,
-                   max_hist=max_hist)
+                   max_hist=max_hist, n_slots=n_slots)
 
-    carry = tucker_fused_init(V, Ws, ranks, max_hist) + (tol_init0,)
     history: list = []
+    with clock.exclude():
+        # carry init does one exact TTMc (the iteration-0 core) — setup,
+        # not sweep time; on a cold process its compile alone is seconds
+        # through the relay
+        carry = tucker_fused_init(V, Ws, ranks, max_hist, n_slots) \
+            + (tol_init0,)
+        _sync(carry[11])
     with clock.exclude():
         warm_carry = carry[:12] + (jnp.asarray(True),) + carry[13:]
         warm_compile(tucker_fused_chunk, V, warm_carry, tol_init0, diff_tol,
@@ -907,8 +936,11 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
         del warm_carry
         calibrate_rtt(clock, Ws[0])
 
-    cn0 = float(jnp.linalg.norm(np.asarray(core).ravel()))
-    dv0 = float(np.sqrt(max(float(V_norm_sq) - cn0 * cn0, 0.0)))
+    with clock.exclude():
+        # iteration-0 diagnostics (excluded, like every logged row): on a
+        # cold process this pull is the relay's first big transfer
+        cn0 = float(jnp.linalg.norm(np.asarray(core).ravel()))
+        dv0 = float(np.sqrt(max(float(V_norm_sq) - cn0 * cn0, 0.0)))
     dn = float("inf")
     diffV = dv0
     if plot is not None:
@@ -917,6 +949,7 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
                         dtime=clock.dtime(), pp=0))
 
     prev_it = 0
+    prev_snap = 0
     t_prev = clock.dtime()
     while True:
         carry = tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
@@ -926,12 +959,32 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
         t_now = clock.dtime()
         if it_now > prev_it:
             rows_all = _host_pull(clock, carry[13])
+            # EXACT diffV for logged rows from the machine's factor
+            # snapshots — computed here in the excluded window so the
+            # timed chunk never pays the extra TTMc chain (cf.
+            # cp.als_cp_pp_fused)
+            exact: dict = {}
+            with clock.exclude():
+                snap_n = int(np.asarray(carry[16]))
+                if snap_n > prev_snap:
+                    labels_all = np.asarray(carry[15])
+                    for slot in range(prev_snap, min(snap_n,
+                                                     len(labels_all))):
+                        Ws_s = [s[slot] for s in carry[14]]
+                        cn_s = float(jnp.linalg.norm(contract.ttmc(
+                            V, Ws_s, skip_mode=-1).ravel()))
+                        exact[int(labels_all[slot])] = float(
+                            np.sqrt(max(float(V_norm_sq) - cn_s * cn_s,
+                                        0.0)))
+                    prev_snap = snap_n
             rows = rows_all[prev_it + 1:it_now + 1]
             for off, label in enumerate(range(prev_it + 1, it_now + 1)):
                 frac = (off + 1) / (it_now - prev_it)
                 dt_row = t_prev + (t_now - t_prev) * frac
                 dn, diffV = float(rows[off, 0]), float(rows[off, 1])
                 ppf = int(rows[off, 2] > 0.5)
+                if label in exact:
+                    diffV = exact[label]
                 if label % cfg.resprint == 0 or label == cfg.maxiter:
                     if plot is not None:
                         plot.row(V.shape[0], label, dn, cfg.tol, ppf, diffV,

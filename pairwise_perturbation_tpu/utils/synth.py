@@ -74,12 +74,14 @@ def gram_schmidt(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return A - (A @ B) / (B @ B) * B
 
 
-def gen_collinearity(lens: Sequence[int], R: int, col_min: float,
-                     col_max: float, rng: np.random.Generator,
-                     max_tries: int = 1000) -> np.ndarray:
-    """CP tensor with per-mode pairwise factor collinearity constrained to
-    [col_min, col_max] and weights lambda_i = 0.2 + 0.6 (i+1)/R
-    (Gen_collinearity, common.cxx:361-423). Rejection sampling like the
+def gen_collinearity_factors(lens: Sequence[int], R: int, col_min: float,
+                             col_max: float, rng: np.random.Generator,
+                             max_tries: int = 1000):
+    """Factor matrices + weights of the controlled-collinearity CP tensor
+    (Gen_collinearity, common.cxx:361-423) WITHOUT materializing the
+    tensor — callers can build it on device from the factors. Returns
+    ``(Ws, lams)`` with ``Ws[j]`` of shape ``(lens[j], R)`` and
+    ``lams[i] = 0.2 + 0.6 (i+1)/R``. Rejection sampling like the
     reference, with a bounded retry count."""
     dim = len(lens)
     vecs = [[rng.random(lens[j]) for j in range(dim)] for _ in range(R)]
@@ -91,10 +93,24 @@ def gen_collinearity(lens: Sequence[int], R: int, col_min: float,
                 if ok:
                     break
                 vecs[i][j] = rng.random(lens[j])
+    Ws = [np.stack([vecs[i][j] for i in range(R)], axis=1)
+          for j in range(dim)]
+    lams = np.array([0.2 + 0.6 / R * (i + 1) for i in range(R)])
+    return Ws, lams
+
+
+def gen_collinearity(lens: Sequence[int], R: int, col_min: float,
+                     col_max: float, rng: np.random.Generator,
+                     max_tries: int = 1000) -> np.ndarray:
+    """CP tensor with per-mode pairwise factor collinearity constrained to
+    [col_min, col_max] and weights lambda_i = 0.2 + 0.6 (i+1)/R
+    (Gen_collinearity, common.cxx:361-423)."""
+    Ws, lams = gen_collinearity_factors(lens, R, col_min, col_max, rng,
+                                        max_tries)
     V = np.zeros(tuple(lens))
-    for i in range(R):
-        lam = 0.2 + 0.6 / R * (i + 1)
-        V += lam * reduce(np.multiply.outer, vecs[i])
+    for i in range(len(lams)):
+        V += lams[i] * reduce(np.multiply.outer,
+                              [W[:, i] for W in Ws])
     return V
 
 

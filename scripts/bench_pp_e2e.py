@@ -89,12 +89,12 @@ def main():
         resource for 32^6; factors are tiny)."""
         rng = np.random.default_rng(seed)
         if col is not None:
-            Ws_true = synth.gen_collinearity_factors(
-                list(shape), R, col[0], col[1], rng) \
-                if hasattr(synth, "gen_collinearity_factors") else None
+            Ws_true, lams = synth.gen_collinearity_factors(
+                list(shape), R, col[0], col[1], rng)
+            # fold the reference's rank weights into mode 0
+            Ws_true = [w.astype(np.float32) for w in Ws_true]
+            Ws_true[0] = Ws_true[0] * lams.astype(np.float32)[None, :]
         else:
-            Ws_true = None
-        if Ws_true is None:
             Ws_true = [rng.random((s, R)).astype(np.float32) for s in shape]
         V = build_dense_jit([jnp.asarray(w) for w in Ws_true])
         if noise:
@@ -106,15 +106,33 @@ def main():
         return V
 
     configs = []
-    # coil-100-shaped random (the flagship real-data config)
-    configs.append(dict(name="coil_shape_f32", shape=(3, 128, 128, 7200),
-                        R=10, restol=0.1, kind="random", maxiter=maxiter))
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    # coil-100 stand-in (the flagship real-data config; falls back to a
+    # coil-shaped random tensor when data/coil-100.bin is absent)
+    coil_bin = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "coil-100.bin")
+    if os.path.exists(coil_bin):
+        configs.append(dict(name="coil_standin_f32", path=coil_bin,
+                            R=10, restol=0.1, kind="coil", maxiter=maxiter))
+    else:
+        configs.append(dict(name="coil_shape_f32",
+                            shape=(3, 128, 128, 7200),
+                            R=10, restol=0.1, kind="random",
+                            maxiter=maxiter))
     # order-6 exact-rank r tensor (strong-scaling family, dim 6)
     configs.append(dict(name=f"order6_s{s6}_r", shape=(s6,) * 6, R=R6,
                         restol=0.1, kind="cp", maxiter=maxiter))
-    # order-6 noisy CP (slow ALS -> many sweeps; PP's favorite regime)
+    # order-6 noisy CP (slow ALS -> many sweeps)
     configs.append(dict(name=f"order6_s{s6}_c", shape=(s6,) * 6, R=R6,
                         restol=0.1, kind="cp_noise", maxiter=maxiter))
+    # order-6 controlled-collinearity + 1% noise — the reference's 'c'
+    # tensor family (Gen_collinearity, common.cxx:361-423;
+    # test_ALS.cxx:246-264), THE regime where ALS needs many sweeps and
+    # PP pays off (paper arXiv:1811.10573 Fig. 5-8)
+    configs.append(dict(name=f"order6_s{s6}_col", shape=(s6,) * 6, R=R6,
+                        restol=0.1, kind="col", maxiter=maxiter))
+    if only:
+        configs = [c for c in configs if c["name"] in only]
 
     out_path = "results/pp_e2e.json"
     os.makedirs("results", exist_ok=True)
@@ -124,15 +142,30 @@ def main():
 
     for cfg_d in configs:
         name = cfg_d["name"]
-        shape, R = cfg_d["shape"], cfg_d["R"]
-        print(f"[{name}] shape={shape} R={R}", flush=True)
-        if cfg_d["kind"] == "random":
-            key = jax.random.PRNGKey(0)
-            V = jax.random.uniform(key, shape, dtype=jnp.float32) * 255.0
-        elif cfg_d["kind"] == "cp":
-            V = make_device_cp_tensor(shape, R, seed=3)
+        R = cfg_d["R"]
+        if cfg_d["kind"] == "coil":
+            from pairwise_perturbation_tpu.utils import io as ppio
+            from pairwise_perturbation_tpu.utils import layout as tlayout
+            V_np = ppio.load_coil100(cfg_d["path"])
+            V_np, _perm = tlayout.canonicalize(V_np)
+            shape = V_np.shape
+            print(f"[{name}] shape={shape} R={R}", flush=True)
+            V = jnp.asarray(V_np)
+            del V_np
         else:
-            V = make_device_cp_tensor(shape, R, seed=5, noise=0.05)
+            shape = cfg_d["shape"]
+            print(f"[{name}] shape={shape} R={R}", flush=True)
+            if cfg_d["kind"] == "random":
+                key = jax.random.PRNGKey(0)
+                V = jax.random.uniform(key, shape,
+                                       dtype=jnp.float32) * 255.0
+            elif cfg_d["kind"] == "cp":
+                V = make_device_cp_tensor(shape, R, seed=3)
+            elif cfg_d["kind"] == "col":
+                V = make_device_cp_tensor(shape, R, seed=7, noise=0.01,
+                                          col=(0.5, 0.9))
+            else:
+                V = make_device_cp_tensor(shape, R, seed=5, noise=0.05)
         Vn = float(jnp.sqrt(contract.norm_sq(V)))
         W0 = cp.init_factors(shape, R, dtype=jnp.float32)
         split, _ = native.plan_tree_split(shape, R)

@@ -133,7 +133,9 @@ def main():
             if pp == 0:
                 res = tucker.als_tucker(V, tranks, cfg, plot)
             else:
-                res = tucker.als_tucker_pp_device(V, tranks, cfg, plot)
+                # fused device-resident Tucker DT<->PP machine (one
+                # dispatch per ~chunk sweeps) — the flagship Tucker path
+                res = tucker.als_tucker_pp_fused(V, tranks, cfg, plot)
             plot.close()
             record(name, res, "tucker")
 

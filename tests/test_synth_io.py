@@ -33,6 +33,28 @@ def test_gen_collinearity_in_range(rng):
     assert np.all(np.isfinite(V))
 
 
+def test_gen_collinearity_factors_match_tensor():
+    """gen_collinearity == sum_i lam_i outer(Ws[:, i]) with the factors
+    from gen_collinearity_factors under the same rng stream, and every
+    same-mode factor pair respects the collinearity bounds
+    (Gen_collinearity, common.cxx:361-423)."""
+    col_min, col_max = 0.5, 0.9
+    V = synth.gen_collinearity([6, 7, 8], 3, col_min, col_max,
+                               np.random.default_rng(0))
+    Ws, lams = synth.gen_collinearity_factors(
+        [6, 7, 8], 3, col_min, col_max, np.random.default_rng(0))
+    V2 = np.zeros((6, 7, 8))
+    for i in range(3):
+        V2 += lams[i] * np.einsum("a,b,c->abc", Ws[0][:, i], Ws[1][:, i],
+                                  Ws[2][:, i])
+    np.testing.assert_allclose(V, V2, rtol=1e-12)
+    for j in range(3):
+        for i in range(1, 3):
+            for k in range(i):
+                c = synth.collinearity(Ws[j][:, i], Ws[j][:, k])
+                assert col_min <= c <= col_max
+
+
 def test_unit_tensor_formula():
     s = 4
     V = synth.unit_tensor(3, s)
