@@ -784,6 +784,13 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
 
     Same phase machine as :func:`als_cp_pp`; per-sweep history rows come
     from the device buffers (dtime interpolated within each phase).
+
+    Timing note: the phase loops recompute exact logged-row diagnostics
+    INSIDE the timed dispatch (lax.cond on logged rows), so this
+    engine's dtime conservatively over-counts by one diagnostic MTTKRP
+    set per logged row. The host drivers and the fused machine
+    (``-device_loop 2``) exclude diagnostics entirely (reference
+    accounting, als_CP.cxx:474-482) — use those for timing claims.
     """
     V = jnp.asarray(V)
     Ws = _as_list(Ws)

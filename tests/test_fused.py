@@ -58,6 +58,45 @@ def test_fused_history_labels_and_rows(rng):
     assert all(b >= a for a, b in zip(dts, dts[1:]))
 
 
+def test_fused_logged_rows_exact_from_snapshots(rng):
+    """Logged rows get EXACT diagnostics computed host-side from the
+    carry's factor snapshots (excluded window), not the in-loop
+    estimates: re-running the deterministic machine directly and
+    evaluating an independent dense-residual oracle on the pulled
+    snapshots must reproduce the driver's logged diffV."""
+    V, W0 = problem(rng)
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.2, maxiter=20, resprint=5)
+    res = cp.als_cp_pp_fused(V, [jnp.array(w) for w in W0], cfg, chunk=64)
+
+    # drive the machine directly with the driver's exact parameters
+    dtype = W0[0].dtype
+    max_hist = cfg.maxiter + 2
+    n_slots = (cfg.maxiter // cfg.resprint) + 4
+    carry = cp.pp_fused_init(V, [jnp.array(w) for w in W0], max_hist,
+                             n_slots)
+    carry = cp.pp_fused_chunk(
+        V, carry, jnp.asarray(cfg.lam, dtype),
+        jnp.asarray(cfg.ratio_step, dtype),
+        jnp.asarray(cfg.pp_res_tol, dtype), jnp.asarray(cfg.tol, dtype),
+        jnp.asarray(cfg.maxiter), None, solver=cfg.solver, chunk=64,
+        resprint=cfg.resprint, pp_cap=cfg.pp_cache_sweeps,
+        max_hist=max_hist, root_split=cfg.tree_split, n_slots=n_slots)
+    labels = np.asarray(carry[13])
+    by_iter = {h["iter"]: h for h in res.history}
+    checked = 0
+    for slot in range(int(carry[14])):
+        lab = int(labels[slot])
+        if lab not in by_iter or lab > cfg.maxiter:
+            continue
+        Ws_s = [s[slot] for s in carry[12]]
+        exact = float(contract.cp_residual_exact(V, Ws_s))
+        logged = by_iter[lab]["diffV"]
+        assert abs(logged - exact) <= 1e-8 * max(exact, 1.0), (lab, logged,
+                                                               exact)
+        checked += 1
+    assert checked >= 3
+
+
 def test_fused_bf16_no_zero_diffV():
     from pairwise_perturbation_tpu.utils import synth
     V = synth.make_tensor("r", dim=4, s=10, R=3, seed=11, dtype=np.float64)
