@@ -123,14 +123,28 @@ def main():
     # ---- PP vs DT inside the framework (the flagship comparison; the
     # CPU-baseline speedups above deliberately do NOT answer it) ----
     ppdt_pairs = [
-        ("coil CP f32", "real_coil_cp_pp0_rt0.1_f32.csv",
+        ("coil CP f32 rt=0.1", "real_coil_cp_pp0_rt0.1_f32.csv",
          "real_coil_cp_pp1_rt0.1_f32.csv"),
-        ("coil CP bf16-V", "real_coil_cp_pp0_rt0.1_bf16.csv",
+        ("coil CP f32 rt=0.05", "real_coil_cp_pp0_rt0.1_f32.csv",
+         "real_coil_cp_pp1_rt0.05_f32.csv"),
+        ("coil CP bf16-V rt=0.1", "real_coil_cp_pp0_rt0.1_bf16.csv",
          "real_coil_cp_pp1_rt0.1_bf16.csv"),
-        ("time-lapse CP f32", "real_timelapse_cp_pp0_rt0.1_f32.csv",
+        ("coil CP bf16-V rt=0.05", "real_coil_cp_pp0_rt0.1_bf16.csv",
+         "real_coil_cp_pp1_rt0.05_bf16.csv"),
+        ("time-lapse CP f32 rt=0.1", "real_timelapse_cp_pp0_rt0.1_f32.csv",
          "real_timelapse_cp_pp1_rt0.1_f32.csv"),
-        ("time-lapse CP bf16-V", "real_timelapse_cp_pp0_rt0.1_bf16.csv",
+        ("time-lapse CP f32 rt=0.05", "real_timelapse_cp_pp0_rt0.1_f32.csv",
+         "real_timelapse_cp_pp1_rt0.05_f32.csv"),
+        ("time-lapse CP bf16-V rt=0.1",
+         "real_timelapse_cp_pp0_rt0.1_bf16.csv",
          "real_timelapse_cp_pp1_rt0.1_bf16.csv"),
+        ("time-lapse CP bf16-V rt=0.05",
+         "real_timelapse_cp_pp0_rt0.1_bf16.csv",
+         "real_timelapse_cp_pp1_rt0.05_bf16.csv"),
+        ("coil Tucker rt=0.5", "real_coil_tucker_pp0_rt0.5.csv",
+         "real_coil_tucker_pp1_rt0.5.csv"),
+        ("time-lapse Tucker rt=0.5", "real_timelapse_tucker_pp0_rt0.5.csv",
+         "real_timelapse_tucker_pp1_rt0.5.csv"),
     ]
     ppdt_rows = []
     for label, dt_csv, pp_csv in ppdt_pairs:
@@ -148,8 +162,13 @@ def main():
         target = max(dt_final, pp_final) * 1.0000001
         t_dt, it_dt = time_to_fitness(dt_rows, target)
         t_pp, it_pp = time_to_fitness(pp_rows, target)
-        sp = (t_dt / t_pp) \
-            if (t_dt is not None and t_pp) else None
+        if it_dt == 0 or it_pp == 0:
+            # the weaker solver's final fitness was already met at the
+            # shared initialization — a time ratio would be meaningless
+            sp = None
+        else:
+            sp = (t_dt / t_pp) \
+                if (t_dt is not None and t_pp) else None
         ppdt_rows.append(dict(label=label, target=target, dt_seconds=t_dt,
                               pp_seconds=t_pp, dt_iters=it_dt,
                               pp_iters=it_pp, speedup=sp))
