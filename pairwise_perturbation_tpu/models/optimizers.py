@@ -258,13 +258,17 @@ class CPMSDTOptimizer(CPOptimizer):
         self.holdouts = eligible if eligible else tuple(range(self.order))
 
     def _next_left(self) -> int:
+        self.left_index = self._peek_next_left()
+        return self.left_index
+
+    def _peek_next_left(self) -> int:
+        """The next hold-out in the (possibly restricted) rotation,
+        without committing it."""
         order = self.order
         if self.holdouts is None or len(self.holdouts) == order:
-            self.left_index = (self.left_index + order - 1) % order
-        else:
-            below = [m for m in self.holdouts if m < self.left_index]
-            self.left_index = max(below) if below else max(self.holdouts)
-        return self.left_index
+            return (self.left_index + order - 1) % order
+        below = [m for m in self.holdouts if m < self.left_index]
+        return max(below) if below else max(self.holdouts)
 
     def _cycle_lefts(self) -> Tuple[int, ...]:
         """The hold-out sequence of one full rotation from the current
@@ -439,12 +443,22 @@ class CPMSDTLROptimizer(CPMSDTOptimizer):
             self.is_cached[left] = True
         positions = tuple(range(order - 1))
         indexes = rotation_indexes(left, order)
-        last_mode = indexes[positions[-1]]
-        if self.is_cached[last_mode]:
+        # The low-rank update must target the NEXT hold-out: the usv
+        # produced here is applied to that mode's cached chain-top at the
+        # start of the next step (lr_update_cache), so they must refer to
+        # the same mode. In the reference's full rotation the next
+        # hold-out is always indexes[positions[-1]]
+        # (cp_msdt_lr_optimizer.cxx:246-256); under the restricted
+        # rotation (min_holdout_size) it can be any position — computing
+        # the update at positions[-1] regardless left a stale usv of a
+        # DIFFERENT mode to be applied to the next cache (shape blowup on
+        # skewed tensors).
+        lr_mode = self._peek_next_left()
+        if lr_mode in indexes and self.is_cached[lr_mode]:
             self.W, self.grads, usv = chain_step_lr(
-                self.V, top, self.W, lam, self.old_W[last_mode],
+                self.V, top, self.W, lam, self.old_W[lr_mode],
                 self._next_key(), left_index=left, positions=positions,
-                solver="chol", lr_pos=positions[-1],
+                solver="chol", lr_pos=indexes.index(lr_mode),
                 update_rank=self.update_rank, randomsvd=self.randomsvd,
                 lr_from_old=True)
             self.usv = usv
@@ -454,6 +468,8 @@ class CPMSDTLROptimizer(CPMSDTOptimizer):
                                             left_index=left,
                                             positions=positions,
                                             solver="chol")
+            self.usv = None
+            self.low_rank_decomp = False
         return (order - 1) / order
 
 

@@ -154,3 +154,24 @@ def test_msdt_min_holdout_all_too_small_falls_back(rng):
     o.configure(V, [jnp.array(w) for w in W0], 0.0)
     assert o.holdouts == (0, 1, 2, 3)  # fallback: full rotation
     assert o.step() == (len(shape) - 1) / len(shape)
+
+
+def test_msdtlr_restricted_rotation_targets_next_holdout(rng):
+    """MSDT-LR under the restricted hold-out rotation: the low-rank
+    update must target the NEXT hold-out (whose cached chain-top it
+    refreshes next step), not blindly the last rotation position —
+    regression for the stale-usv shape blowup on skewed tensors
+    (cp_msdt_lr_optimizer.cxx:246-256 semantics generalized)."""
+    shape, R = (3, 8, 9, 16), 3
+    Ws_true = [jnp.asarray(rng.random((s, R))) for s in shape]
+    V = contract.build_dense(Ws_true)
+    W0 = [jnp.asarray(rng.random((s, R))) for s in shape]
+    Vn = float(jnp.linalg.norm(V.ravel()))
+    o = opt.CPMSDTLROptimizer(len(shape), R, 1, False, min_holdout_size=8)
+    o.configure(V, [jnp.array(w) for w in W0], 0.0)
+    assert o.holdouts == (1, 2, 3)
+    r0 = float(contract.cp_residual_exact(V, o.W)) / Vn
+    for _ in range(3 * len(o.holdouts)):  # crosses every refresh path
+        o.step()
+    r1 = float(contract.cp_residual_exact(V, o.W)) / Vn
+    assert np.isfinite(r1) and r1 < r0
