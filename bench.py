@@ -294,6 +294,7 @@ def main() -> int:
 
             o3_512_xla = _best_of(lambda: time_o3_512(False))
             o3_512_pallas = _best_of(lambda: time_o3_512(True))
+            del V5, Ws5  # 512^3 f32 = 0.5 GB HBM
 
         # Extended suite (order-6 synthetic + Tucker): ~7 extra XLA
         # compiles, which can push a cold-cache run past the driver's
@@ -341,6 +342,9 @@ def main() -> int:
                                              lam6, 1.0, solver="svd")
             _pull(cur6[0])
             o6_pp = max((time.perf_counter() - t0 - pull_overhead) / n6, 1e-9)
+            # 24^6 pads ~5x on the minor dim (~4 GB HBM) — free it before
+            # the later full-suite sections stack more live tensors
+            del V6, cur6, dcur6, s6c, p6c, Wsb6, W_init6, dWs6
 
             # Tucker on the coil-100 config with the reference's rank vector
             # (3, 10, 10, 70) (test_ALS.cxx:366-372, script_real.py:50-54)
@@ -425,7 +429,11 @@ def main() -> int:
             def time_opt(make, n_steps=20):
                 o = make()
                 o.configure(V, [jnp.array(w) for w in Ws], 0.0)
-                o.step()
+                # rotating optimizers compile lazily per hold-out
+                # position AND per cache-refresh path: warm TWO full
+                # rotations so the timed steps are compile-free
+                for _ in range(2 * len(shape)):
+                    o.step()
                 _pull(o.W[0])
                 t0 = time.perf_counter()
                 for _ in range(n_steps):
@@ -440,6 +448,8 @@ def main() -> int:
             msdtlr_step = time_opt(
                 lambda: _opt.CPMSDTLROptimizer(len(shape), R, 1, False,
                                                min_holdout_size=8))
+
+        sparse_sweep = sparse_cache_build = None  # measured at suite end
 
         # time-lapse config (order-4 33x1344x1024x9, canonicalized to
         # (33, 9, 1344, 1024) for TPU tiling — script_real.py:46-48) and
@@ -503,6 +513,48 @@ def main() -> int:
                 lambda: time_o3_generic(V3b, Ws3, False))
             o3_bf16_pallas = _best_of(
                 lambda: time_o3_generic(V3b, Ws3, True))
+            del V3b
+
+            # sparse CP engine (-issparse 1): COO gather + segment-sum
+            # MTTKRP (ops/sparse.py; reference threads -issparse into
+            # CTF, test_ALS.cxx:126-131) — order-4 200^4, density 1e-3.
+            # Runs last in the full suite: HBM headroom (~60 MB live).
+            from pairwise_perturbation_tpu.ops import sparse as _sp
+            from pairwise_perturbation_tpu.models import sparse_cp as _spm
+            sshape, snnz = (200, 200, 200, 200), 1_600_000
+            kidx = jax.random.PRNGKey(11)
+            sidx = jnp.stack(
+                [jax.random.randint(jax.random.fold_in(kidx, i), (snnz,),
+                                    0, s) for i, s in enumerate(sshape)],
+                axis=1).astype(jnp.int32)
+            svals = jax.random.uniform(jax.random.PRNGKey(12), (snnz,),
+                                       dtype=dtype)
+            st_sp = _sp.SparseTensor(sidx, svals, sshape)
+            Wsp = [jax.random.uniform(jax.random.PRNGKey(80 + i), (s, R),
+                                      dtype=dtype)
+                   for i, s in enumerate(sshape)]
+            lam_sp = jnp.asarray(0.0, dtype=dtype)
+            sweep_sp = jax.jit(
+                lambda st, Ws: _spm.sparse_simple_sweep(st, Ws, lam_sp,
+                                                        solver="svd"))
+            cur_sp = sweep_sp(st_sp, list(Wsp))
+            _pull(cur_sp[0])
+            t0 = time.perf_counter()
+            for _ in range(20):
+                cur_sp = sweep_sp(st_sp, cur_sp)
+            _pull(cur_sp[0])
+            sparse_sweep = max(
+                (time.perf_counter() - t0 - pull_overhead) / 20, 1e-9)
+
+            sb_sp = _spm.sparse_pp_build_caches(st_sp, list(Wsp))
+            _pull(sb_sp[0][0])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                sb_sp = _spm.sparse_pp_build_caches(st_sp, cur_sp)
+            _pull(sb_sp[0][0])
+            sparse_cache_build = max(
+                (time.perf_counter() - t0 - pull_overhead) / 10, 1e-9)
+            del st_sp, sidx, svals, Wsp, cur_sp, sb_sp
 
         # mixed-precision mode: V stored bf16, factors/solves f32
         # (contract._einsum casts contraction operands to bf16 with f32
@@ -581,6 +633,9 @@ def main() -> int:
                 "pp_partupdate_sweep_seconds": round(partupdate_sweep, 6),
                 "cpdtlr_step_seconds": round(dtlr_step, 6),
                 "cpmsdtlr_step_seconds": round(msdtlr_step, 6),
+                "sparse200_4_nnz1.6M_sweep_seconds": round(sparse_sweep, 6),
+                "sparse200_4_nnz1.6M_pp_cache_build_seconds":
+                    round(sparse_cache_build, 6),
             })
         value = sweeps_per_sec
     except Exception as e:  # pragma: no cover

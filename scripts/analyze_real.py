@@ -102,8 +102,10 @@ def main():
           "",
           "Baseline: single-process numpy f64, reference ALS semantics "
           "with the dimension-tree FLOP structure "
-          "(scripts/baseline_cpu.py), measured on this machine "
-          f"({os.cpu_count()} CPU cores). Framework: one TPU v5e chip.",
+          "(scripts/baseline_cpu.py), measured on a 2-core host of the "
+          "same class as this build environment (results/baseline_*.csv; "
+          "seeded stand-in datasets are byte-identical across machines). "
+          "Framework: one TPU v5e chip.",
           "",
           "`time-to-fitness` = wall seconds (diagnostics excluded, "
           "reference accounting) until diffV <= the worse of the two "
