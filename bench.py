@@ -390,12 +390,22 @@ def main() -> int:
             _pull(curt[0])
             tucker_pp = max(
                 (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)
+            # free the Tucker TTMc caches (~0.5 GB) and iterates before
+            # the LR-optimizer benches — their two cached first-level
+            # tops (up to ~1.1 GB each on coil) + sweep transients need
+            # the headroom on top of everything this suite keeps live
+            del st, pt, curt, dct, W_initt, dWst, Wst, Wss, core0
 
         # PP partial-update sweep (pp=2, als_CP.cxx:852-1073) and the
         # low-rank second-gen optimizers (run pp=2/3) — measured so their
         # cost model is data, not assumption (VERDICT r2 next #6)
         partupdate_sweep = dtlr_step = msdtlr_step = None
         if full:
+            # Loaded executables live in device memory too: by this point
+            # the suite has compiled dozens of large programs and loading
+            # chain_step_lr fails with RESOURCE_EXHAUSTED. Drop them —
+            # later sections reload from the persistent disk cache.
+            jax.clear_caches()
             import jax.numpy as _jnp
             W_initp = [w for w in Ws]
             dWsp = [_jnp.zeros_like(w) for w in Ws]
@@ -431,16 +441,20 @@ def main() -> int:
                 o.configure(V, [jnp.array(w) for w in Ws], 0.0)
                 # rotating optimizers compile lazily per hold-out
                 # position AND per cache-refresh path: warm TWO full
-                # rotations so the timed steps are compile-free
+                # rotations so the timed steps are compile-free.
+                # Sync EVERY step: each LR step queues a ~GB first-level
+                # top, so back-to-back dispatch holds many steps' buffers
+                # live at once and OOMs the chip (found the hard way).
                 for _ in range(2 * len(shape)):
                     o.step()
-                _pull(o.W[0])
+                    _pull(o.W[0])
                 t0 = time.perf_counter()
                 for _ in range(n_steps):
                     o.step()
-                _pull(o.W[0])
+                    _pull(o.W[0])
                 return max(
-                    (time.perf_counter() - t0 - pull_overhead) / n_steps,
+                    (time.perf_counter() - t0
+                     - pull_overhead * n_steps) / n_steps,
                     1e-9)
 
             dtlr_step = time_opt(
@@ -639,6 +653,8 @@ def main() -> int:
             })
         value = sweeps_per_sec
     except Exception as e:  # pragma: no cover
+        import traceback
+        traceback.print_exc(file=sys.stderr)  # JSON contract: stdout only
         print(json.dumps({"metric": "cp_dt_sweeps_per_sec_coil100",
                           "value": 0.0, "unit": "sweeps/s",
                           "vs_baseline": 0.0, "error": repr(e)[:400]}))
