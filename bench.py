@@ -274,9 +274,24 @@ def main() -> int:
         t_o3_xla = _best_of(lambda: time_o3_generic(V3, Ws3, False))
         t_o3_pallas = _best_of(lambda: time_o3_generic(V3, Ws3, True))
 
+        # Full-suite sectioning: the relay keeps every loaded executable
+        # alive for the life of the process (jax.clear_caches() does not
+        # release device program memory server-side), so running EVERY
+        # full section in one process exhausts the chip while loading
+        # later executables. PP_BENCH_SECTIONS selects a comma-separated
+        # subset ({o3512,dense6,opt,tl}) to run per process;
+        # scripts/run_full_bench.sh runs the parts and merges the JSON.
+        full = bool(os.environ.get("PP_BENCH_FULL"))
+        _secs = set(s.strip() for s in
+                    os.environ.get("PP_BENCH_SECTIONS", "").split(",")
+                    if s.strip())
+
+        def _sec(name):
+            return full and (not _secs or name in _secs)
+
         # order-3 512^3 (larger single-mode scale; Pallas auto-tiles)
         o3_512_xla = o3_512_pallas = None
-        if os.environ.get("PP_BENCH_FULL"):
+        if _sec("o3512"):
             V5 = jax.random.uniform(jax.random.PRNGKey(5), (512, 512, 512),
                                     dtype=dtype)
             Ws5 = [jax.random.uniform(jax.random.PRNGKey(50 + i), (512, R),
@@ -300,13 +315,12 @@ def main() -> int:
         # compiles, which can push a cold-cache run past the driver's
         # timeout — opt-in via PP_BENCH_FULL=1 (results are recorded in
         # results/BENCH_full_manual.json).
-        full = bool(os.environ.get("PP_BENCH_FULL"))
         o6_dt = o6_build = o6_pp = tucker_dt = tucker_pp = None
         tucker_dt_sub = None
 
         # order-6 synthetic (the reference's strong-scaling family,
         # script_strongscaling.py: dim 6 rank 6; size shrunk to one chip)
-        if full:
+        if _sec("dense6"):
             s6, R6 = 24, 6
             V6 = jax.random.uniform(jax.random.PRNGKey(6), (s6,) * 6,
                                     dtype=dtype)
@@ -400,7 +414,7 @@ def main() -> int:
         # low-rank second-gen optimizers (run pp=2/3) — measured so their
         # cost model is data, not assumption (VERDICT r2 next #6)
         partupdate_sweep = dtlr_step = msdtlr_step = None
-        if full:
+        if _sec("opt"):
             # Loaded executables live in device memory too: by this point
             # the suite has compiled dozens of large programs and loading
             # chain_step_lr fails with RESOURCE_EXHAUSTED. Drop them —
@@ -470,7 +484,7 @@ def main() -> int:
         # bf16 order-3 Pallas MTTKRP, both first-class in the full suite
         tl_dt = tl_dt_bf16 = tl_build = tl_tucker_dt = None
         o3_bf16_pallas = o3_bf16_xla = None
-        if full:
+        if _sec("tl"):
             tl_shape = (33, 9, 1344, 1024)
             Vt = jax.random.uniform(jax.random.PRNGKey(7), tl_shape,
                                     dtype=dtype) * 255.0
@@ -626,31 +640,30 @@ def main() -> int:
             "config": "coil-100-shaped random, order-4 3x128x128x7200, rank 10, f32",
         }
         if full:
-            extra.update({
-                "timelapse_dt_sweep_seconds": round(tl_dt, 6),
-                "timelapse_dt_sweep_seconds_bf16v": round(tl_dt_bf16, 6),
-                "timelapse_pp_cache_build_seconds": round(tl_build, 6),
-                "timelapse_tucker_dt_sweep_seconds_auto":
-                    round(tl_tucker_dt, 6),
-                "order3_200_sweep_seconds_xla_bf16v": round(o3_bf16_xla, 6),
-                "order3_200_sweep_seconds_pallas_bf16v":
-                    round(o3_bf16_pallas, 6),
-                "order3_512_sweep_seconds_xla": round(o3_512_xla, 6),
-                "order3_512_sweep_seconds_pallas": round(o3_512_pallas, 6),
-                "order6_s24_dt_sweep_seconds": round(o6_dt, 6),
-                "order6_s24_pp_cache_build_seconds": round(o6_build, 6),
-                "order6_s24_pp_sweep_seconds": round(o6_pp, 6),
-                "tucker_coil_dt_sweep_seconds": round(tucker_dt, 6),
-                "tucker_coil_dt_sweep_seconds_subspace2":
-                    round(tucker_dt_sub, 6),
-                "tucker_coil_pp_sweep_seconds": round(tucker_pp, 6),
-                "pp_partupdate_sweep_seconds": round(partupdate_sweep, 6),
-                "cpdtlr_step_seconds": round(dtlr_step, 6),
-                "cpmsdtlr_step_seconds": round(msdtlr_step, 6),
-                "sparse200_4_nnz1.6M_sweep_seconds": round(sparse_sweep, 6),
+            # sections skipped via PP_BENCH_SECTIONS leave their metrics
+            # as None — omit those keys (run_full_bench.sh merges parts)
+            extra.update({k: round(v, 6) for k, v in {
+                "timelapse_dt_sweep_seconds": tl_dt,
+                "timelapse_dt_sweep_seconds_bf16v": tl_dt_bf16,
+                "timelapse_pp_cache_build_seconds": tl_build,
+                "timelapse_tucker_dt_sweep_seconds_auto": tl_tucker_dt,
+                "order3_200_sweep_seconds_xla_bf16v": o3_bf16_xla,
+                "order3_200_sweep_seconds_pallas_bf16v": o3_bf16_pallas,
+                "order3_512_sweep_seconds_xla": o3_512_xla,
+                "order3_512_sweep_seconds_pallas": o3_512_pallas,
+                "order6_s24_dt_sweep_seconds": o6_dt,
+                "order6_s24_pp_cache_build_seconds": o6_build,
+                "order6_s24_pp_sweep_seconds": o6_pp,
+                "tucker_coil_dt_sweep_seconds": tucker_dt,
+                "tucker_coil_dt_sweep_seconds_subspace2": tucker_dt_sub,
+                "tucker_coil_pp_sweep_seconds": tucker_pp,
+                "pp_partupdate_sweep_seconds": partupdate_sweep,
+                "cpdtlr_step_seconds": dtlr_step,
+                "cpmsdtlr_step_seconds": msdtlr_step,
+                "sparse200_4_nnz1.6M_sweep_seconds": sparse_sweep,
                 "sparse200_4_nnz1.6M_pp_cache_build_seconds":
-                    round(sparse_cache_build, 6),
-            })
+                    sparse_cache_build,
+            }.items() if v is not None})
         value = sweeps_per_sec
     except Exception as e:  # pragma: no cover
         import traceback
