@@ -90,6 +90,27 @@ def main() -> int:
     dtype = jnp.float32
     extra = {}
 
+    # Full-suite sectioning: the relay keeps every loaded executable
+    # (with its scratch reservation) alive for the life of the process —
+    # jax.clear_caches() cannot release device program memory server-side
+    # — so running every full-suite section in one process exhausts the
+    # chip while loading later executables. PP_BENCH_SECTIONS selects a
+    # comma-separated subset of {head,o3512,dense6,opt,tl} per process;
+    # scripts/run_full_bench.sh runs the parts and merges the JSON.
+    # Default (no PP_BENCH_SECTIONS): the driver's headline behavior.
+    full = bool(os.environ.get("PP_BENCH_FULL"))
+    _secs = set(s.strip() for s in
+                os.environ.get("PP_BENCH_SECTIONS", "").split(",")
+                if s.strip())
+
+    def _sec(name):
+        return full and (not _secs or name in _secs)
+
+    # heavyweight headline sub-benches (planner/pp/msdt/o3/bf16 timings):
+    # on for the driver's default run and for the "head" part; off for
+    # lean parts like "opt" so their process loads few big executables
+    head_on = (not _secs) or ("head" in _secs)
+
     try:
         key = jax.random.PRNGKey(0)
         kV, *kws = jax.random.split(key, len(shape) + 1)
@@ -98,16 +119,23 @@ def main() -> int:
               for k, s in zip(kws, shape)]
         lam = jnp.asarray(0.0, dtype=dtype)
 
-        # warm-up: compile + first pull (relay warm-up is tens of seconds)
-        out, _ = cp.dt_sweep(V, Ws, lam, solver="svd")
-        _pull(out[0])
+        # warm-up: compile + first pull (relay warm-up is tens of
+        # seconds). Lean PP_BENCH_SECTIONS parts skip even the big
+        # dt_sweep program — every loaded executable's scratch
+        # reservation stays resident for the life of the process.
+        if head_on:
+            out, _ = cp.dt_sweep(V, Ws, lam, solver="svd")
+            warm_ref = out[0]
+        else:
+            warm_ref = Ws[0]
+        _pull(warm_ref)
 
         # measure host-pull latency: min of several — relay latency has a
         # heavy right tail, and overestimating the overhead clamps the
         # small per-sweep measurements it is subtracted from to ~0
         def _pull_once():
             t0 = time.perf_counter()
-            _pull(out[0])
+            _pull(warm_ref)
             return time.perf_counter() - t0
         pull_overhead = min(_pull_once() for _ in range(6))
 
@@ -123,8 +151,8 @@ def main() -> int:
             st["cur"] = cur
             return max((time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
 
-        dt_sweep_time = _best_of(m_dt)
-        sweeps_per_sec = 1.0 / dt_sweep_time
+        dt_sweep_time = _best_of(m_dt) if head_on else None
+        sweeps_per_sec = (1.0 / dt_sweep_time) if dt_sweep_time else 0.0
 
         # native-planner root split (native/planner.cpp plan_tree_split):
         # on coil's skewed shape the asymmetric tree saves ~20% FLOPs
@@ -142,11 +170,13 @@ def main() -> int:
             stp2["cur"] = cur
             return max((time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
 
-        cur0, _ = cp.dt_sweep(V, list(Ws), lam, solver="svd",
-                              root_split=split)
-        _pull(cur0[0])
-        stp2["cur"] = cur0
-        dt_sweep_planner = _best_of(m_dt_planner)
+        dt_sweep_planner = None
+        if head_on:
+            cur0, _ = cp.dt_sweep(V, list(Ws), lam, solver="svd",
+                                  root_split=split)
+            _pull(cur0[0])
+            stp2["cur"] = cur0
+            dt_sweep_planner = _best_of(m_dt_planner)
 
         # PP: cache build time and steady-state sweep time. Chain several
         # builds back-to-back (data-dependent via a factor perturbation,
@@ -173,14 +203,15 @@ def main() -> int:
             return max(
                 (time.perf_counter() - t0 - pull_overhead) / nb, 1e-9)
 
-        pp_build_time = _best_of(m_build)
+        pp_build_time = _best_of(m_build) if head_on else None
         single, pair = stb["single"], stb["pair"]
 
         W_init = [w for w in Ws]
         dWs = [jnp.zeros_like(w) for w in Ws]
-        out = cp.pp_sweep(single, pair, list(Ws), W_init, dWs, lam, 1.0,
-                          solver="svd")
-        _pull(out[0][0])
+        if head_on:
+            out = cp.pp_sweep(single, pair, list(Ws), W_init, dWs, lam,
+                              1.0, solver="svd")
+            _pull(out[0][0])
         npp = 50
         stp = {"cur": list(Ws), "dcur": dWs}
 
@@ -195,16 +226,19 @@ def main() -> int:
             return max(
                 (time.perf_counter() - t0 - pull_overhead) / npp, 1e-9)
 
-        pp_sweep_time = _best_of(m_pp)
+        pp_sweep_time = _best_of(m_pp) if head_on else None
 
         # MSDT (multi-sweep dimension tree, arXiv:2010.12056): one full
         # device-resident rotation = order-1 sweeps per dispatch
         from pairwise_perturbation_tpu.models import optimizers as ppopt
         order = len(shape)
-        cur0, _ = ppopt.msdt_cycle(V, list(Ws), lam, start_left=order - 1)
-        _pull(cur0[0])
+        msdt_sweep_time = msdt_skip_sweep_time = None
+        if head_on:
+            cur0, _ = ppopt.msdt_cycle(V, list(Ws), lam,
+                                       start_left=order - 1)
+            _pull(cur0[0])
         ncyc = 30
-        stm = {"cur": cur0}
+        stm = {"cur": cur0 if head_on else None}
 
         def m_msdt():
             cur = stm["cur"]
@@ -217,16 +251,18 @@ def main() -> int:
             return max((time.perf_counter() - t0 - pull_overhead)
                        / ncyc / (order - 1), 1e-9)
 
-        msdt_sweep_time = _best_of(m_msdt)
+        if head_on:
+            msdt_sweep_time = _best_of(m_msdt)
 
         # MSDT with the restricted hold-out rotation (-msdt_min_holdout):
         # the size-3 mode is never held out, so no cycle step pays the
         # |V|*R/3 first-level intermediate.
         lefts_skip = tuple(m for m in range(order - 1, -1, -1)
                            if shape[m] >= 8)
-        cur0s, _ = ppopt.msdt_cycle(V, list(Ws), lam, lefts=lefts_skip)
-        _pull(cur0s[0])
-        stms = {"cur": cur0s}
+        if head_on:
+            cur0s, _ = ppopt.msdt_cycle(V, list(Ws), lam, lefts=lefts_skip)
+            _pull(cur0s[0])
+        stms = {"cur": cur0s if head_on else None}
 
         def m_msdt_skip():
             cur = stms["cur"]
@@ -239,7 +275,8 @@ def main() -> int:
             return max((time.perf_counter() - t0 - pull_overhead)
                        / ncyc / sweeps_per_cycle, 1e-9)
 
-        msdt_skip_sweep_time = _best_of(m_msdt_skip)
+        if head_on:
+            msdt_skip_sweep_time = _best_of(m_msdt_skip)
 
         # BASELINE config 1: order-3 200^3 rank-10 exact ALS sweep, with and
         # without the fused Pallas MTTKRP kernel
@@ -271,23 +308,10 @@ def main() -> int:
             _pull(cur[0])
             return max((time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
 
-        t_o3_xla = _best_of(lambda: time_o3_generic(V3, Ws3, False))
-        t_o3_pallas = _best_of(lambda: time_o3_generic(V3, Ws3, True))
-
-        # Full-suite sectioning: the relay keeps every loaded executable
-        # alive for the life of the process (jax.clear_caches() does not
-        # release device program memory server-side), so running EVERY
-        # full section in one process exhausts the chip while loading
-        # later executables. PP_BENCH_SECTIONS selects a comma-separated
-        # subset ({o3512,dense6,opt,tl}) to run per process;
-        # scripts/run_full_bench.sh runs the parts and merges the JSON.
-        full = bool(os.environ.get("PP_BENCH_FULL"))
-        _secs = set(s.strip() for s in
-                    os.environ.get("PP_BENCH_SECTIONS", "").split(",")
-                    if s.strip())
-
-        def _sec(name):
-            return full and (not _secs or name in _secs)
+        t_o3_xla = _best_of(lambda: time_o3_generic(V3, Ws3, False)) \
+            if head_on else None
+        t_o3_pallas = _best_of(lambda: time_o3_generic(V3, Ws3, True)) \
+            if head_on else None
 
         # order-3 512^3 (larger single-mode scale; Pallas auto-tiles)
         o3_512_xla = o3_512_pallas = None
@@ -446,6 +470,13 @@ def main() -> int:
             _pull(state_pu[0][0])
             partupdate_sweep = max(
                 (time.perf_counter() - t0 - pull_overhead) / 30, 1e-9)
+            # drop the coil PP caches + partupdate state before the LR
+            # optimizers: their two cached chain-tops (~1.1 GB each) plus
+            # chain_step_lr's load/scratch need the headroom (the bf16
+            # section later rebuilds stb's entries itself)
+            del state_pu
+            stb.clear()
+            single = pair = None  # noqa: F841 (closures above not reused)
 
             # DT-LR / MSDT-LR steps (cp_dt_lr_optimizer.cxx:128-232)
             from pairwise_perturbation_tpu.models import optimizers as _opt
@@ -588,10 +619,12 @@ def main() -> int:
         # (contract._einsum casts contraction operands to bf16 with f32
         # accumulation). MTTKRP rel err ~1.5e-3 — far below the
         # reference benchmarks' restol of 0.05-0.1 (script_real.py:42-58).
-        V16 = V.astype(jnp.bfloat16)
-        cur16, _ = cp.dt_sweep(V16, list(Ws), lam, solver="svd")
-        _pull(cur16[0])
-        st16 = {"cur": cur16}
+        dt_sweep_bf16 = pp_build_bf16 = None
+        V16 = V.astype(jnp.bfloat16) if head_on else None
+        if head_on:
+            cur16, _ = cp.dt_sweep(V16, list(Ws), lam, solver="svd")
+            _pull(cur16[0])
+        st16 = {"cur": cur16 if head_on else None}
 
         def m_dt16():
             cur = st16["cur"]
@@ -602,12 +635,14 @@ def main() -> int:
             st16["cur"] = cur
             return max((time.perf_counter() - t0 - pull_overhead) / n, 1e-9)
 
-        dt_sweep_bf16 = _best_of(m_dt16)
+        if head_on:
+            dt_sweep_bf16 = _best_of(m_dt16)
 
-        single16, pair16, Wsb16 = build_chained(V16, list(Ws))
-        _pull(single16[0])
-        stb["single"], stb["pair"], stb["Wsb"] = single16, pair16, Wsb16
-        pp_build_bf16 = _best_of(lambda: m_build(V16))
+            single16, pair16, Wsb16 = build_chained(V16, list(Ws))
+            _pull(single16[0])
+            stb["single"], stb["pair"], stb["Wsb"] = (single16, pair16,
+                                                      Wsb16)
+            pp_build_bf16 = _best_of(lambda: m_build(V16))
 
         nnz = 1
         for s in shape:
@@ -615,30 +650,36 @@ def main() -> int:
         flops_per_sweep = 2 * 2 * nnz * R  # two first-level chains dominate
         extra = {
             "device": str(jax.devices()[0]),
-            "dt_sweep_seconds": round(dt_sweep_time, 6),
-            "dt_sweep_seconds_planner_split": round(dt_sweep_planner, 6),
             "planner_root_split": split,
-            "pp_sweep_seconds": round(pp_sweep_time, 6),
-            "pp_cache_build_seconds": round(pp_build_time, 6),
             "host_pull_overhead_seconds": round(pull_overhead, 6),
-            "dt_tflops_effective": round(
-                flops_per_sweep / dt_sweep_time / 1e12, 3),
-            "order3_200_sweep_seconds_xla": round(t_o3_xla, 6),
-            "order3_200_sweep_seconds_pallas": round(t_o3_pallas, 6),
-            "dt_sweep_seconds_bf16v": round(dt_sweep_bf16, 6),
-            "pp_cache_build_seconds_bf16v": round(pp_build_bf16, 6),
-            "msdt_sweep_seconds": round(msdt_sweep_time, 6),
-            "msdt_sweep_seconds_min_holdout8": round(msdt_skip_sweep_time, 6),
-            # steady-state PP cost per sweep amortizing one cache build
-            # over the 15-sweep cap (als_CP.cxx:667)
-            "pp_effective_sweep_seconds": round(
-                pp_build_time / 15 + pp_sweep_time, 6),
-            "pp_effective_sweep_seconds_bf16v": round(
-                pp_build_bf16 / 15 + pp_sweep_time, 6),
             "bf16v_note": "V stored bf16, factors/solves f32; MTTKRP rel "
                           "err ~1.5e-3 (<< benchmark restol 0.05)",
             "config": "coil-100-shaped random, order-4 3x128x128x7200, rank 10, f32",
         }
+        if dt_sweep_time:
+            extra["dt_sweep_seconds"] = round(dt_sweep_time, 6)
+            extra["dt_tflops_effective"] = round(
+                flops_per_sweep / dt_sweep_time / 1e12, 3)
+        # head sub-bench metrics are None in lean PP_BENCH_SECTIONS parts
+        extra.update({k: round(v, 6) for k, v in {
+            "dt_sweep_seconds_planner_split": dt_sweep_planner,
+            "pp_sweep_seconds": pp_sweep_time,
+            "pp_cache_build_seconds": pp_build_time,
+            "order3_200_sweep_seconds_xla": t_o3_xla,
+            "order3_200_sweep_seconds_pallas": t_o3_pallas,
+            "dt_sweep_seconds_bf16v": dt_sweep_bf16,
+            "pp_cache_build_seconds_bf16v": pp_build_bf16,
+            "msdt_sweep_seconds": msdt_sweep_time,
+            "msdt_sweep_seconds_min_holdout8": msdt_skip_sweep_time,
+            # steady-state PP cost per sweep amortizing one cache build
+            # over the 15-sweep cap (als_CP.cxx:667)
+            "pp_effective_sweep_seconds": (
+                pp_build_time / 15 + pp_sweep_time
+                if pp_build_time and pp_sweep_time else None),
+            "pp_effective_sweep_seconds_bf16v": (
+                pp_build_bf16 / 15 + pp_sweep_time
+                if pp_build_bf16 and pp_sweep_time else None),
+        }.items() if v is not None})
         if full:
             # sections skipped via PP_BENCH_SECTIONS leave their metrics
             # as None — omit those keys (run_full_bench.sh merges parts)

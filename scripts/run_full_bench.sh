@@ -22,9 +22,12 @@ run_part() {
     tail -c 200 "/tmp/ppbench/${name}.json" >&2; echo >&2
 }
 
-run_part dense "o3512,dense6"   # headline + 512^3 + order-6 + coil Tucker
-run_part opt   "opt"            # partupdate + DT-LR + MSDT-LR
-run_part tl    "tl"             # time-lapse + bf16 o3 + sparse engine
+# "head" = the heavyweight headline sub-benches (planner/pp/msdt/o3/
+# bf16 timings); lean parts skip them so their process loads only the
+# executables its own sections need.
+run_part dense "head,o3512,dense6"  # headline + 512^3 + order-6 + Tucker
+run_part opt   "opt"                # partupdate + DT-LR + MSDT-LR
+run_part tl    "tl"                 # time-lapse + bf16 o3 + sparse
 
 python - << 'EOF'
 import json
@@ -34,8 +37,11 @@ for name in ("dense", "opt", "tl"):
                    .splitlines()[-1])
     if d.get("error"):
         raise SystemExit(f"part {name} failed: {d['error']}")
-    # headline keys agree across parts (same config); later parts win
-    merged.update(d)
+    # dense runs first and carries the full headline; lean parts only
+    # contribute keys the earlier parts don't have (their own sections —
+    # their headline value/vs_baseline are 0.0 placeholders)
+    merged.update({k: v for k, v in d.items()
+                   if k not in merged or merged[k] in (0.0, None)})
 json.dump(merged, open("results/BENCH_full_manual.json", "w"),
           indent=1, sort_keys=True)
 print("merged", len(merged), "keys -> results/BENCH_full_manual.json")
