@@ -188,8 +188,12 @@ def main() -> int:
             Ws2 = [w + 0.0 * single[0][0, 0] for w in Ws]
             return single, pair, Ws2
 
-        single, pair, Wsb = build_chained(V, list(Ws))
-        _pull(single[0])
+        need_caches = head_on or _sec("pu")
+        if need_caches:
+            single, pair, Wsb = build_chained(V, list(Ws))
+            _pull(single[0])
+        else:
+            single = pair = Wsb = None
         nb = 10
         stb = {"Wsb": Wsb, "single": single, "pair": pair}
 
@@ -438,12 +442,7 @@ def main() -> int:
         # low-rank second-gen optimizers (run pp=2/3) — measured so their
         # cost model is data, not assumption (VERDICT r2 next #6)
         partupdate_sweep = dtlr_step = msdtlr_step = None
-        if _sec("opt"):
-            # Loaded executables live in device memory too: by this point
-            # the suite has compiled dozens of large programs and loading
-            # chain_step_lr fails with RESOURCE_EXHAUSTED. Drop them —
-            # later sections reload from the persistent disk cache.
-            jax.clear_caches()
+        if _sec("pu"):
             import jax.numpy as _jnp
             W_initp = [w for w in Ws]
             dWsp = [_jnp.zeros_like(w) for w in Ws]
@@ -470,15 +469,11 @@ def main() -> int:
             _pull(state_pu[0][0])
             partupdate_sweep = max(
                 (time.perf_counter() - t0 - pull_overhead) / 30, 1e-9)
-            # drop the coil PP caches + partupdate state before the LR
-            # optimizers: their two cached chain-tops (~1.1 GB each) plus
-            # chain_step_lr's load/scratch need the headroom (the bf16
-            # section later rebuilds stb's entries itself)
-            del state_pu
-            stb.clear()
-            single = pair = None  # noqa: F841 (closures above not reused)
-
-            # DT-LR / MSDT-LR steps (cp_dt_lr_optimizer.cxx:128-232)
+        # DT-LR / MSDT-LR steps (cp_dt_lr_optimizer.cxx:128-232).
+        # Own section: their chain programs' scratch reservations only
+        # fit when this process loaded almost nothing else (the "lr"
+        # part runs with the bare minimum — no dt_sweep, no PP caches)
+        if _sec("lr"):
             from pairwise_perturbation_tpu.models import optimizers as _opt
 
             def time_opt(make, n_steps=20):

@@ -24,15 +24,18 @@ run_part() {
 
 # "head" = the heavyweight headline sub-benches (planner/pp/msdt/o3/
 # bf16 timings); lean parts skip them so their process loads only the
-# executables its own sections need.
+# executables its own sections need. The LR optimizers get a part of
+# their own: their chain programs' scratch reservations only fit when
+# the process loaded almost nothing else.
 run_part dense "head,o3512,dense6"  # headline + 512^3 + order-6 + Tucker
-run_part opt   "opt"                # partupdate + DT-LR + MSDT-LR
+run_part pu    "pu"                 # PP partial-update (pp=2)
+run_part lr    "lr"                 # DT-LR + MSDT-LR (run pp=2/3)
 run_part tl    "tl"                 # time-lapse + bf16 o3 + sparse
 
 python - << 'EOF'
 import json
 merged = {}
-for name in ("dense", "opt", "tl"):
+for name in ("dense", "pu", "lr", "tl"):
     d = json.loads(open(f"/tmp/ppbench/{name}.json").read().strip()
                    .splitlines()[-1])
     if d.get("error"):
