@@ -479,15 +479,30 @@ def main() -> int:
             def time_opt(make, n_steps=20):
                 o = make()
                 o.configure(V, [jnp.array(w) for w in Ws], 0.0)
-                # rotating optimizers compile lazily per hold-out
-                # position AND per cache-refresh path: warm TWO full
-                # rotations so the timed steps are compile-free.
+                # Rotating optimizers compile lazily per hold-out
+                # position, per cache-refresh path AND (DT-LR) per
+                # special_index rotation — a fixed 2-rotation warm left
+                # late compiles inside the timed window (round-3
+                # lr_timing_note admitted this). Warm until one full
+                # signature cycle runs compile-free: a step whose
+                # synchronous host time exceeds 0.25 s is a compile
+                # strike and resets the quiet counter.
                 # Sync EVERY step: each LR step queues a ~GB first-level
                 # top, so back-to-back dispatch holds many steps' buffers
                 # live at once and OOMs the chip (found the hard way).
-                for _ in range(2 * len(shape)):
+                cycle = 2 * len(shape) \
+                    * getattr(o, "num_subiteration", 1)
+                quiet = 0
+                for _ in range(8 * cycle):
+                    ts = time.perf_counter()
                     o.step()
                     _pull(o.W[0])
+                    if time.perf_counter() - ts > 0.25:
+                        quiet = 0
+                    else:
+                        quiet += 1
+                    if quiet >= cycle:
+                        break
                 t0 = time.perf_counter()
                 for _ in range(n_steps):
                     o.step()

@@ -24,8 +24,14 @@ class NumericConfig:
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     # Relative eigenvalue cutoff for pseudo-inverse solves. The reference
     # takes raw reciprocals of ScaLAPACK singular values (common.cxx:720-722);
-    # a tiny relative cutoff is the f32-safe equivalent.
+    # a tiny relative cutoff is the f32-safe equivalent. ops/solve.py
+    # additionally floors this at the dtype's eigenvalue noise level
+    # (R * eps) so f32 never reciprocates eigh noise.
     rcond: float = 1e-12
+    # Iterative-refinement passes for f32/bf16 R x R solves (f64 skips).
+    # Restores backward stability of ill-conditioned solves — the f32
+    # equivalent of the reference's f64 ScaLAPACK solves (ops/solve.py).
+    solve_refine: int = 2
     # Use fused Pallas kernels on TPU where available (order-3 MTTKRP).
     use_pallas: bool = True
     # Route first-level (chain-root) contractions through the Pallas

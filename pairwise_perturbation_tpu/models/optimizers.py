@@ -121,6 +121,29 @@ def lr_update_cache(V, cache, U, s, VT, *, left_index: int):
     return cache + upd
 
 
+@partial(jax.jit, static_argnames=("left_index", "positions", "solver",
+                                   "lr_pos", "update_rank", "randomsvd",
+                                   "lr_from_old"))
+def chain_step_lr_fused(V, cache, U, s, VT, Ws, lam, old_W_lr, key, *,
+                        left_index: int, positions: Tuple[int, ...],
+                        solver: str, lr_pos: int, update_rank: int,
+                        randomsvd: bool, lr_from_old: bool):
+    """Low-rank cache refresh + LR chain step in ONE dispatch:
+    top = cache + (V x_left U s) x VT, then :func:`chain_step_lr` on it.
+    Fusing lets XLA stream the refreshed top into the first position's
+    MTTKRP instead of writing it out and reading it back (the cached
+    first-level top is up to ~1.1 GB on coil-100 — one saved HBM pass,
+    cp_dt_lr_optimizer.cxx:128-158 semantics). Returns
+    (top, Ws_new, grads, usv)."""
+    top = lr_update_cache(V, cache, U, s, VT, left_index=left_index)
+    Ws2, grads, usv = chain_step_lr(
+        V, top, Ws, lam, old_W_lr, key, left_index=left_index,
+        positions=positions, solver=solver, lr_pos=lr_pos,
+        update_rank=update_rank, randomsvd=randomsvd,
+        lr_from_old=lr_from_old)
+    return top, Ws2, grads, usv
+
+
 @partial(jax.jit, static_argnames=("start_left", "solver", "lefts"))
 def msdt_cycle(V, Ws, lam, *, start_left: int = -1, solver: str = "chol",
                lefts: Optional[Tuple[int, ...]] = None):
@@ -360,21 +383,29 @@ class CPDTLROptimizer(CPDTOptimizer):
         order = self.order
         left = self.left_index1 if self.first_subtree else self.left_index2
         lam = jnp.asarray(self.lam, dtype=self.V.dtype)
-        # first-level contraction: cached low-rank refresh or full recompute
-        if self.low_rank_decomp and self.count_subiteration > 1:
-            U, s, VT = self.usv
-            top = lr_update_cache(self.V, self.cached[self.first_subtree],
-                                  U, s, VT, left_index=left)
-            self.cached[self.first_subtree] = top
-        else:
-            top = chain_top(self.V, self.W[left], left_index=left)
-            self.cached[self.first_subtree] = top
         positions = self._positions()
         do_lr = self.count_subiteration >= 1
         lr_pos = (positions[-1] if self.first_subtree else positions[0]) \
             if do_lr else -1
-        if do_lr:
-            indexes = rotation_indexes(left, order)
+        refresh = self.low_rank_decomp and self.count_subiteration > 1
+        indexes = rotation_indexes(left, order)
+        if refresh:
+            # refresh (a refresh step is always also an LR step:
+            # count > 1 implies do_lr) fused with the chain step — one
+            # dispatch, one HBM pass over the refreshed top
+            U, s, VT = self.usv
+            top, self.W, self.grads, usv = chain_step_lr_fused(
+                self.V, self.cached[self.first_subtree], U, s, VT,
+                self.W, lam, self.W[indexes[lr_pos]], self._next_key(),
+                left_index=left, positions=positions, solver="chol",
+                lr_pos=lr_pos, update_rank=self.update_rank,
+                randomsvd=self.randomsvd, lr_from_old=False)
+            self.cached[self.first_subtree] = top
+            self.usv = usv
+            self.low_rank_decomp = True
+        elif do_lr:
+            top = chain_top(self.V, self.W[left], left_index=left)
+            self.cached[self.first_subtree] = top
             self.W, self.grads, usv = chain_step_lr(
                 self.V, top, self.W, lam, self.W[indexes[lr_pos]],
                 self._next_key(), left_index=left, positions=positions,
@@ -383,6 +414,8 @@ class CPDTLROptimizer(CPDTOptimizer):
             self.usv = usv
             self.low_rank_decomp = True
         else:
+            top = chain_top(self.V, self.W[left], left_index=left)
+            self.cached[self.first_subtree] = top
             self.W, self.grads = chain_step(self.V, top, self.W, lam,
                                             left_index=left,
                                             positions=positions,
@@ -430,17 +463,6 @@ class CPMSDTLROptimizer(CPMSDTOptimizer):
         order = self.order
         left = self._next_left()
         lam = jnp.asarray(self.lam, dtype=self.V.dtype)
-        if self.low_rank_decomp and self.is_cached[left]:
-            U, s, VT = self.usv
-            top = lr_update_cache(self.V, self.cached_tensors[left],
-                                  U, s, VT, left_index=left)
-            self.cached_tensors[left] = top
-            self.old_W[left] = self.W[left]
-        else:
-            top = chain_top(self.V, self.W[left], left_index=left)
-            self.cached_tensors[left] = top
-            self.old_W[left] = self.W[left]
-            self.is_cached[left] = True
         positions = tuple(range(order - 1))
         indexes = rotation_indexes(left, order)
         # The low-rank update must target the NEXT hold-out: the usv
@@ -454,7 +476,35 @@ class CPMSDTLROptimizer(CPMSDTOptimizer):
         # DIFFERENT mode to be applied to the next cache (shape blowup on
         # skewed tensors).
         lr_mode = self._peek_next_left()
-        if lr_mode in indexes and self.is_cached[lr_mode]:
+        do_lr = lr_mode in indexes and self.is_cached[lr_mode]
+        refresh = self.low_rank_decomp and self.is_cached[left]
+        if refresh and do_lr:
+            # refresh + LR step in one dispatch (chain_step_lr_fused)
+            U, s, VT = self.usv
+            top, self.W, self.grads, usv = chain_step_lr_fused(
+                self.V, self.cached_tensors[left], U, s, VT, self.W, lam,
+                self.old_W[lr_mode], self._next_key(), left_index=left,
+                positions=positions, solver="chol",
+                lr_pos=indexes.index(lr_mode),
+                update_rank=self.update_rank, randomsvd=self.randomsvd,
+                lr_from_old=True)
+            self.cached_tensors[left] = top
+            self.old_W[left] = self.W[left]
+            self.usv = usv
+            self.low_rank_decomp = True
+            return (order - 1) / order
+        if refresh:
+            U, s, VT = self.usv
+            top = lr_update_cache(self.V, self.cached_tensors[left],
+                                  U, s, VT, left_index=left)
+            self.cached_tensors[left] = top
+            self.old_W[left] = self.W[left]
+        else:
+            top = chain_top(self.V, self.W[left], left_index=left)
+            self.cached_tensors[left] = top
+            self.old_W[left] = self.W[left]
+            self.is_cached[left] = True
+        if do_lr:
             self.W, self.grads, usv = chain_step_lr(
                 self.V, top, self.W, lam, self.old_W[lr_mode],
                 self._next_key(), left_index=left, positions=positions,

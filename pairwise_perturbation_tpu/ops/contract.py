@@ -79,10 +79,15 @@ def _einsum(spec, *ops, precision=None):
 
 
 def norm_sq(V):
-    """||V||^2 with f32 (or wider) accumulation regardless of V's dtype."""
+    """||V||^2 with f32 (or wider) accumulation regardless of V's dtype.
+
+    No ravel: reshaping a mesh-sharded V to 1D makes GSPMD all-gather
+    the full tensor onto every device before the reduction (observed in
+    the fused machine's HLO); an axis-wise sum reduces locally with one
+    cross-device all-reduce instead."""
     acc = jnp.float32 if V.dtype == jnp.bfloat16 else V.dtype
-    flat = V.ravel()
-    return jnp.dot(flat, flat, preferred_element_type=acc)
+    Va = V.astype(acc)
+    return jnp.sum(Va * Va)
 
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,86 @@ def test_mixed_bf16_dt_converges_like_f32(rng):
     # absolute offset of the f32 one (relative residual units)
     assert f16_fit < 0.5
     assert f16_fit - f32_fit < 0.05
+
+
+def test_f32_pinv_floors_noise_eigenvalues():
+    """Regression (VERDICT r3 weak #1): an f32 pseudo-inverse with the
+    config's tiny f64-scale rcond must still floor at the dtype noise
+    level — eigenvalues of order eps * lam_max are eigh noise and
+    reciprocating them injects ~1/eps amplification into the solve."""
+    rng = np.random.default_rng(5)
+    R = 10
+    # S with a genuine near-null space: eigenvalues down to 1e-9 * lam_max
+    Q, _ = np.linalg.qr(rng.standard_normal((R, R)))
+    lam = np.logspace(0, -9, R)
+    S = (Q * lam) @ Q.T
+    W_true = rng.standard_normal((50, R))
+    M = W_true @ S
+    W32 = solve.svd_solve(jnp.asarray(M, jnp.float32),
+                          jnp.asarray(S, jnp.float32))
+    # without the floor the noise directions blow |W| up by ~1e5; with it
+    # the solve stays bounded by the true minimum-norm solution's scale
+    W_ref = M @ np.linalg.pinv(S, rcond=1e-5)
+    assert np.linalg.norm(np.asarray(W32)) < 10 * np.linalg.norm(W_ref)
+
+
+def test_f32_solve_refinement_restores_backward_stability():
+    """Low-precision solves get iterative refinement (ops/solve.py):
+    the backward residual ||W S - M|| must land near f32 eps, not at
+    cond(S) * eps."""
+    rng = np.random.default_rng(7)
+    R = 8
+    base = rng.random((24, R))
+    base = 0.003 * base + 0.997 * base[:, :1]  # nearly collinear columns
+    S = (base.T @ base) ** 3                   # hadamard-of-grams style
+    W_true = rng.random((24, R))
+    M = W_true @ S
+    S32, M32 = jnp.asarray(S, jnp.float32), jnp.asarray(M, jnp.float32)
+    W_raw = solve.svd_solve(M32, S32, refine=0)
+    W_ref = solve.svd_solve(M32, S32)  # default config refinement
+    res_raw = np.linalg.norm(np.asarray(W_raw) @ S - M)
+    res_ref = np.linalg.norm(np.asarray(W_ref) @ S - M)
+    assert res_ref <= res_raw  # refinement never hurts
+    assert res_ref < 1e-4 * np.linalg.norm(M)
+    # cholesky path refines too
+    W_chol = solve.cholesky_solve(M32, S32)
+    assert np.linalg.norm(np.asarray(W_chol) @ S - M) \
+        < 1e-4 * np.linalg.norm(M)
+
+
+def test_f64_solves_skip_refinement_and_floor():
+    """f64 behavior is unchanged: eps floor (2e-15) sits below the
+    default rcond and refinement is skipped (reference parity —
+    common.cxx:710-725 raw-reciprocal semantics modulo rcond)."""
+    rng = np.random.default_rng(9)
+    R = 6
+    A = rng.standard_normal((R, R))
+    S = jnp.asarray(A @ A.T + np.eye(R))
+    W_true = rng.standard_normal((12, R))
+    M = jnp.asarray(np.asarray(W_true) @ np.asarray(S))
+    W = solve.svd_solve(M, S)
+    np.testing.assert_allclose(np.asarray(W), W_true, rtol=1e-10)
+
+
+def test_f32_pp_gradnorm_no_explosion(rng):
+    """End-to-end regression for the round-3 late-run blow-up: a long
+    f32 PP run on the ill-conditioned collinearity fixture must keep the
+    EXACT logged gradnorm within a bounded envelope of its running
+    minimum (the r3 CSVs showed 1000x+ sustained explosions) and end
+    with a finite, decayed gradnorm."""
+    V = synth.make_tensor("c", dim=4, s=24, R=8, col_min=0.9, col_max=0.99,
+                          ratio_noise=0.01, seed=3, dtype=np.float32)
+    Vn = float(np.linalg.norm(V))
+    W0 = cp.init_factors(V.shape, 8, dtype=jnp.float32)
+    cfg = cp.CPConfig(tol=1e-10 * Vn, pp_res_tol=0.1, maxiter=200,
+                      resprint=10, solver="svd")
+    res = cp.als_cp_pp(V, W0, cfg)
+    gns = [h["gradnorm"] for h in res.history]
+    assert all(np.isfinite(g) for g in gns)
+    # late-run rows must not sit orders of magnitude above the best seen
+    gmin = min(gns[1:])
+    late = gns[len(gns) // 2:]
+    assert max(late) < 1e3 * gmin, (max(late), gmin)
+    # diffV must not regress by more than the oscillation envelope
+    dvs = [h["diffV"] for h in res.history]
+    assert dvs[-1] < 20 * min(dvs), (dvs[-1], min(dvs))

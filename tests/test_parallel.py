@@ -287,3 +287,157 @@ def test_pp_sub_uses_constrained_caches(rng, monkeypatch):
                                      layout.mode_axis.get(j)))
         assert arr_c.sharding.is_equivalent_to(want, arr_c.ndim), (i, j)
     assert np.isfinite(res.diffV)
+
+
+# ---------------------------------------------------------------------------
+# Fused machines + cache builds: HLO collective assertions and pinned
+# cache shardings (VERDICT r3 next #7/#8)
+# ---------------------------------------------------------------------------
+
+
+def _fused_sharded_setup(rng, shape=(6, 8, 8, 6), R=3):
+    mesh = pmesh.make_mesh((4, 2), ("x", "y"))
+    layout = pmesh.plan_layout(shape, mesh)
+    Ws_true = [rng.random((s, R)) for s in shape]
+    V = np.asarray(contract.build_dense([jnp.asarray(W) for W in Ws_true]))
+    W0 = cp.init_factors(shape, R, dtype=jnp.float64)
+    Vs = pmesh.shard_tensor(V, layout)
+    Wss = pmesh.shard_factors(W0, layout)
+    return mesh, layout, V, W0, Vs, Wss
+
+
+def _fused_specs(layout, order):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    single_specs = tuple(
+        NamedSharding(layout.mesh, P(layout.mode_axis.get(i), None))
+        for i in range(order))
+    pair_specs = tuple(
+        NamedSharding(layout.mesh, P(None, layout.mode_axis.get(i),
+                                     layout.mode_axis.get(j)))
+        for (i, j) in cp._pair_keys(order))
+    return single_specs, pair_specs
+
+
+def test_fused_build_branch_pins_cache_shardings(rng):
+    """After a sharded fused chunk passes through the build branch, the
+    carry's pair caches must hold the PLANNED shardings (kept modes on
+    their mesh axes, rank axis replicated) — not whatever GSPMD
+    inference picked (VERDICT r3 weak #6)."""
+    mesh, layout, V, W0, Vs, Wss = _fused_sharded_setup(rng)
+    order = len(V.shape)
+    single_specs, pair_specs = _fused_specs(layout, order)
+    dtype = Wss[0].dtype
+    lam = jnp.asarray(0.0, dtype)
+    carry = cp.pp_fused_init(Vs, Wss, max_hist=16, n_slots=4)
+    # tol_init huge -> the first DT sweep reads quiet -> build at body
+    # step 2, PP sweeps after; chunk covers all three phases
+    carry = cp.pp_fused_chunk(
+        Vs, carry, lam, jnp.asarray(1.0, dtype), jnp.asarray(100.0, dtype),
+        jnp.asarray(0.0, dtype), jnp.asarray(8), None,
+        jnp.asarray(0.0, dtype), solver="svd", chunk=6, resprint=4,
+        pp_cap=15, max_hist=16, n_slots=4,
+        single_specs=single_specs, pair_specs=pair_specs)
+    assert int(carry[0]) >= 3  # DT + >=2 PP sweeps ran (build consumed one)
+    for spec, cache in zip(pair_specs, carry[8]):
+        got = cache.sharding
+        assert got.is_equivalent_to(spec, cache.ndim), (got, spec)
+    for spec, cache in zip(single_specs, carry[7]):
+        got = cache.sharding
+        assert got.is_equivalent_to(spec, cache.ndim), (got, spec)
+
+
+def test_fused_chunk_hlo_collectives_no_full_gather(rng):
+    """The sharded fused machine must lower to collective reductions and
+    must never all-gather the full V (the CTF-equivalent communication
+    pattern, extended from the plain DT sweep to the fused machine)."""
+    mesh, layout, V, W0, Vs, Wss = _fused_sharded_setup(rng)
+    order = len(V.shape)
+    single_specs, pair_specs = _fused_specs(layout, order)
+    dtype = Wss[0].dtype
+    lam = jnp.asarray(0.0, dtype)
+    carry = cp.pp_fused_init(Vs, Wss, max_hist=16, n_slots=4)
+    lowered = cp.pp_fused_chunk.lower(
+        Vs, carry, lam, jnp.asarray(1.0, dtype), jnp.asarray(100.0, dtype),
+        jnp.asarray(0.0, dtype), jnp.asarray(8), None,
+        jnp.asarray(0.0, dtype), solver="svd", chunk=6, resprint=4,
+        pp_cap=15, max_hist=16, n_slots=4,
+        single_specs=single_specs, pair_specs=pair_specs)
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+    full_v = f"f64[{','.join(str(s) for s in layout.padded_shape)}]"
+    for line in hlo.splitlines():
+        if "all-gather" in line and full_v in line:
+            raise AssertionError(f"full V gathered: {line[:160]}")
+
+
+def test_tucker_fused_hlo_collectives_no_full_gather(rng):
+    from pairwise_perturbation_tpu.models import tucker
+    mesh = pmesh.make_mesh((4, 2), ("x", "y"))
+    shape, ranks = (6, 8, 8, 6), (2, 3, 3, 2)
+    layout = pmesh.plan_layout(shape, mesh)
+    V = rng.standard_normal(shape)
+    Vs = pmesh.shard_tensor(V, layout)
+    core0, Ws = tucker.hosvd(Vs, ranks)
+    dtype = Ws[0].dtype
+    carry = tucker.tucker_fused_init(Vs, Ws, ranks, max_hist=16,
+                                     n_slots=4) \
+        + (jnp.asarray(0.5, dtype),)
+    lowered = tucker.tucker_fused_chunk.lower(
+        Vs, carry, jnp.asarray(0.5, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(8), jnp.asarray(0.9, dtype), jnp.asarray(5e-3, dtype),
+        ranks=ranks, subspace_iters=0, chunk=6, resprint=4, pp_cap=15,
+        max_hist=16, n_slots=4)
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+    full_v = f"f64[{','.join(str(s) for s in layout.padded_shape)}]"
+    for line in hlo.splitlines():
+        if "all-gather" in line and full_v in line:
+            raise AssertionError(f"full V gathered: {line[:160]}")
+
+
+def test_constrained_cache_build_hlo_no_full_gather(rng):
+    """The sharded PP cache build itself (the memory-dominant object at
+    scale, SURVEY 'hard parts') must not gather full V."""
+    mesh, layout, V, W0, Vs, Wss = _fused_sharded_setup(
+        rng, shape=(6, 8, 8, 6))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    order = V.ndim
+    single_specs = tuple(
+        NamedSharding(mesh, P(layout.mode_axis.get(i), None))
+        for i in range(order))
+    pair_specs = tuple(
+        NamedSharding(mesh, P(None, layout.mode_axis.get(i),
+                              layout.mode_axis.get(j)))
+        for i in range(order) for j in range(i + 1, order))
+    lowered = pmesh._constrained_build.lower(Vs, list(Wss), single_specs,
+                                             pair_specs)
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
+    full_v = f"f64[{','.join(str(s) for s in layout.padded_shape)}]"
+    for line in hlo.splitlines():
+        if "all-gather" in line and full_v in line:
+            raise AssertionError(f"full V gathered: {line[:160]}")
+
+
+def test_tucker_fused_sharded_matches_unsharded(rng):
+    """Tucker fused machine with cfg.mesh_layout (pinned TTMc cache
+    shardings) reproduces the unsharded fit."""
+    from pairwise_perturbation_tpu.models import tucker
+    shape, ranks = (8, 8, 6, 6), (3, 3, 2, 2)
+    core = rng.standard_normal(ranks)
+    Wt = [np.linalg.qr(rng.standard_normal((s, r)))[0]
+          for s, r in zip(shape, ranks)]
+    V = np.einsum("PQRS,aP,bQ,cR,dS->abcd", core, *Wt)
+    cfg = tucker.TuckerConfig(tol=0.0, pp_res_tol=0.5, maxiter=15,
+                              resprint=5, subspace_iters=0)
+    res_plain = tucker.als_tucker_pp_fused(V, ranks, cfg, chunk=8)
+    mesh = pmesh.make_mesh((4, 2), ("x", "y"))
+    layout = pmesh.plan_layout(shape, mesh)
+    Vs = pmesh.shard_tensor(V, layout)
+    import dataclasses
+    cfg_s = dataclasses.replace(cfg, mesh_layout=layout)
+    res_shard = tucker.als_tucker_pp_fused(Vs, ranks, cfg_s, chunk=8)
+    # the fixture has exact Tucker rank, so both runs land at the
+    # rounding floor — compare with an absolute floor tolerance
+    np.testing.assert_allclose(res_shard.diffV, res_plain.diffV,
+                               rtol=1e-6, atol=1e-6)

@@ -107,7 +107,115 @@ def test_cli_issparse(tmp_path):
 def test_cli_issparse_out_of_scope_rejected():
     from pairwise_perturbation_tpu import cli
     with pytest.raises(SystemExit):
-        cli.main(["test_als", "-model", "Tucker", "-tensor", "r2",
+        cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "2",
                   "-issparse", "1", "-quiet"])
     with pytest.raises(SystemExit):
         cli.main(["run", "-tensor", "r", "-issparse", "1", "-quiet"])
+
+
+# ---------------------------------------------------------------------------
+# Sparse Tucker (-issparse 1 -model Tucker) — VERDICT r3 missing #1
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_ttmc_matches_dense(rng):
+    from pairwise_perturbation_tpu.models import tucker as tkm
+    V, st, _ = _sparse_problem(rng, shape=(7, 6, 8, 5))
+    ranks = (3, 2, 4, 2)
+    Ws = [jnp.asarray(np.linalg.qr(rng.standard_normal((s, r)))[0])
+          for s, r in zip(V.shape, ranks)]
+    for skip in (-1, 0, 2, 3):
+        got = spo.ttmc(st, Ws, skip_mode=skip)
+        want = contract.ttmc(jnp.asarray(V), Ws, skip_mode=skip)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_ttmc_caches_match_dense(rng):
+    V, st, _ = _sparse_problem(rng, shape=(6, 7, 5, 6))
+    ranks = (2, 3, 2, 3)
+    Ws = [jnp.asarray(rng.standard_normal((s, r)))
+          for s, r in zip(V.shape, ranks)]
+    single_s, pair_s = spo.build_ttmc_caches(st, Ws)
+    single_d, pair_d = contract.build_ttmc_caches(jnp.asarray(V), list(Ws))
+    for i in single_d:
+        np.testing.assert_allclose(np.asarray(single_s[i]),
+                                   np.asarray(single_d[i]),
+                                   rtol=1e-9, atol=1e-12)
+    for k in pair_d:
+        np.testing.assert_allclose(np.asarray(pair_s[k]),
+                                   np.asarray(pair_d[k]),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_hosvd_subspace_quality(rng):
+    """Randomized sparse HOSVD captures the leading subspace: the
+    projected core carries nearly all of the energy an exact HOSVD
+    would, on an exactly low-rank sparse tensor."""
+    from pairwise_perturbation_tpu.models import sparse_tucker
+    shape, ranks = (12, 10, 11, 9), (3, 3, 3, 3)
+    core = rng.standard_normal(ranks)
+    Wt = [np.linalg.qr(rng.standard_normal((s, r)))[0]
+          for s, r in zip(shape, ranks)]
+    V = np.einsum("PQRS,aP,bQ,cR,dS->abcd", core, *Wt)
+    V[np.abs(V) < np.quantile(np.abs(V), 0.3)] = 0.0  # sparsify a bit
+    st = spo.from_dense(V)
+    c, Ws = sparse_tucker.hosvd_sparse(st, ranks)
+    cn = float(jnp.linalg.norm(c.ravel()))
+    Vn = float(np.linalg.norm(V))
+    assert cn > 0.95 * Vn, (cn, Vn)
+
+
+def test_sparse_tucker_hooi_matches_dense(rng):
+    """Sparse HOOI == dense HOOI-with-sign-fixing on the same start."""
+    from pairwise_perturbation_tpu.models import sparse_tucker, tucker
+    V, st, _ = _sparse_problem(rng, shape=(8, 7, 6, 7), density=0.2)
+    ranks = (3, 3, 2, 3)
+    Ws0 = [jnp.asarray(np.linalg.qr(rng.standard_normal((s, r)))[0])
+           for s, r in zip(V.shape, ranks)]
+    Ws_s, core_s = sparse_tucker.sparse_hooi_sweep(
+        st, list(Ws0), list(Ws0), ranks=ranks, use_sign=True)
+    Ws_d, core_d = tucker.tucker_hooi_sweep(jnp.asarray(V), list(Ws0),
+                                            ranks=ranks)
+    np.testing.assert_allclose(float(jnp.linalg.norm(core_s.ravel())),
+                               float(jnp.linalg.norm(core_d.ravel())),
+                               rtol=1e-8)
+
+
+def test_sparse_tucker_pp_converges_on_laplacian():
+    """End-to-end sparse Tucker PP on the sparse-natural laplacian
+    family: residual decreases, PP phase engages, and the fit matches
+    plain sparse HOOI."""
+    from pairwise_perturbation_tpu.models import sparse_tucker, tucker
+    V = synth.make_tensor("p", dim=8, s=5, R=3, seed=3, dtype=np.float64)
+    st = spo.from_dense(V)
+    Vn = float(np.linalg.norm(V))
+    ranks = (4, 4, 4, 4)
+    cfg = tucker.TuckerConfig(tol=0.0, pp_res_tol=0.3, maxiter=30,
+                              resprint=5)
+    res_pp = sparse_tucker.als_tucker_pp_sparse(st, ranks, cfg)
+    res_0 = sparse_tucker.als_tucker_sparse(st, ranks, cfg)
+    assert np.isfinite(res_pp.diffV)
+    dvs = [h["diffV"] for h in res_pp.history]
+    assert dvs[-1] <= dvs[0]
+    assert res_pp.diffV < max(1.5 * res_0.diffV + 1e-9, 1e-6 * Vn)
+    assert any(h["pp"] == 1 for h in res_pp.history), "PP never ran"
+
+
+def test_cli_issparse_tucker(tmp_path):
+    from pairwise_perturbation_tpu import cli
+    out = tmp_path / "st.csv"
+    rc = cli.main(["test_als", "-model", "Tucker", "-tensor", "p", "-pp",
+                   "1", "-dim", "8", "-size", "5", "-rank", "4",
+                   "-maxiter", "12", "-resprint", "4", "-issparse", "1",
+                   "-quiet", "-filename", str(out)])
+    assert rc == 0
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) > 2
+    # the folded Poisson tensor has exact multilinear rank 2, so at rank
+    # 4 the fit lands at the f32 cancellation floor immediately — assert
+    # fit quality (||V|| ~ 210 here), not row-to-row monotonicity of
+    # noise-floor values
+    last = rows[-1].split(",")
+    assert np.isfinite(float(last[5]))
+    assert float(last[5]) < 1.0  # < 0.5% of ||V||
