@@ -151,14 +151,23 @@ def _print_banner(args):
 
 
 def _planned_split(args, shape):
-    """Native-planner binary-tree root split (None = reference midpoint)."""
+    """Native-planner binary-tree root split (None = reference midpoint).
+
+    Objective: HBM traffic, not FLOPs — the first-level DT contractions
+    are bandwidth-bound on TPU, so bytes moved is what predicts sweep
+    time (the earlier FLOP model claimed 20% on coil where measurement
+    showed 0.6%; the traffic model reproduces measurement)."""
     if not getattr(args, "planner", 0):
         return None
     from pairwise_perturbation_tpu import native
-    split, _flops = native.plan_tree_split(tuple(int(s) for s in shape),
-                                           int(args.rank))
+    split, best_t, mid_t = native.plan_tree_split_traffic(
+        tuple(int(s) for s in shape), int(args.rank))
     if split == (len(shape) - 1) // 2:
         return None  # planner agrees with the midpoint: share the jit cache
+    if not args.quiet and mid_t == mid_t and best_t == best_t and mid_t > 0:
+        print(f"  planner: root split {split} "
+              f"(modeled traffic saving {100 * (mid_t - best_t) / mid_t:.1f}%"
+              " vs midpoint)")
     return split
 
 

@@ -154,7 +154,7 @@ def main():
                 V = make_device_cp_tensor(shape, R, seed=5, noise=0.05)
         Vn = float(jnp.sqrt(contract.norm_sq(V)))
         W0 = cp.init_factors(shape, R, dtype=jnp.float32)
-        split, _ = native.plan_tree_split(shape, R)
+        split, _t, _tm = native.plan_tree_split_traffic(shape, R)
         if split == (len(shape) - 1) // 2:
             split = None
 

@@ -95,7 +95,7 @@ def main():
     # ---------------- CP grid ----------------
     R = 10
     from pairwise_perturbation_tpu import native
-    split, _fl = native.plan_tree_split(tuple(V.shape), R)
+    split, _t, _tm = native.plan_tree_split_traffic(tuple(V.shape), R)
     if split == (V.ndim - 1) // 2:
         split = None
     for vdt, tag in ((V, "f32"), (V16, "bf16")):
