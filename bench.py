@@ -346,7 +346,8 @@ def main() -> int:
         # compiles, which can push a cold-cache run past the driver's
         # timeout — opt-in via PP_BENCH_FULL=1 (results are recorded in
         # results/BENCH_full_manual.json).
-        o6_dt = o6_build = o6_pp = tucker_dt = tucker_pp = None
+        o6_dt = o6_build = o6_pp = o6_msdt = None
+        tucker_dt = tucker_pp = None
         tucker_dt_sub = None
 
         # order-6 synthetic (the reference's strong-scaling family,
@@ -387,6 +388,29 @@ def main() -> int:
                                              lam6, 1.0, solver="svd")
             _pull(cur6[0])
             o6_pp = max((time.perf_counter() - t0 - pull_overhead) / n6, 1e-9)
+
+            # MSDT on its NATURAL family: the rotating hold-out is
+            # structurally disadvantaged on coil's skew (a tiny hold-out
+            # mode leaves a 3.3x|V| first-level intermediate), which is
+            # why msdt_sweep_seconds on coil reads 3x DT. On the uniform
+            # order-6 tensors the reference actually runs MSDT on
+            # (arXiv:2010.12056), every hold-out intermediate is
+            # |V|*R/s — measure it there too for a fair per-family view.
+            from pairwise_perturbation_tpu.models import (optimizers as
+                                                          _ppopt)
+            cur6m, _ = _ppopt.msdt_cycle(V6, list(Ws6), lam6,
+                                         start_left=5, solver="chol")
+            _pull(cur6m[0])
+            nm = 10
+            t0 = time.perf_counter()
+            for _ in range(nm):
+                cur6m, _ = _ppopt.msdt_cycle(V6, cur6m, lam6,
+                                             start_left=5, solver="chol")
+            _pull(cur6m[0])
+            # one cycle = order steps = (order-1) sweeps of updates
+            o6_msdt = max((time.perf_counter() - t0 - pull_overhead)
+                          / (nm * 5), 1e-9)
+            del cur6m
             # 24^6 pads ~5x on the minor dim (~4 GB HBM) — free it before
             # the later full-suite sections stack more live tensors
             del V6, cur6, dcur6, s6c, p6c, Wsb6, W_init6, dWs6
@@ -706,6 +730,7 @@ def main() -> int:
                 "order3_512_sweep_seconds_xla": o3_512_xla,
                 "order3_512_sweep_seconds_pallas": o3_512_pallas,
                 "order6_s24_dt_sweep_seconds": o6_dt,
+                "order6_s24_msdt_sweep_seconds": o6_msdt,
                 "order6_s24_pp_cache_build_seconds": o6_build,
                 "order6_s24_pp_sweep_seconds": o6_pp,
                 "tucker_coil_dt_sweep_seconds": tucker_dt,
@@ -714,6 +739,13 @@ def main() -> int:
                 "pp_partupdate_sweep_seconds": partupdate_sweep,
                 "cpdtlr_step_seconds": dtlr_step,
                 "cpmsdtlr_step_seconds": msdtlr_step,
+                "lr_timing_note": (
+                    "steady-state: warmed until a full signature cycle "
+                    "(all hold-out positions x refresh paths x "
+                    "special-index rotations) ran compile-free; tall "
+                    "update SVDs via Gram-eigh; cache refresh fused "
+                    "into the LR chain step"
+                ) if (dtlr_step or msdtlr_step) else None,
                 "sparse200_4_nnz1.6M_sweep_seconds": sparse_sweep,
                 "sparse200_4_nnz1.6M_pp_cache_build_seconds":
                     sparse_cache_build,

@@ -264,7 +264,8 @@ def cmd_test_als(args) -> int:
                                   maxiter=args.maxiter,
                                   timelimit=args.timelimit,
                                   resprint=args.resprint,
-                                  subspace_iters=args.tucker_subspace)
+                                  subspace_iters=args.tucker_subspace,
+                                  mesh_layout=layout)
         plot = PlotFile(args.filename, PlotFile.TUCKER_HEADER,
                         echo=not args.quiet)
         if args.pp == 0:

@@ -80,6 +80,13 @@ class CPConfig:
     # Binary-tree root split (None = reference midpoint, common.cxx:252).
     # The CLI sets this from the native planner (native/planner.cpp).
     tree_split: object = None
+    # Per-run pseudo-inverse cutoff override (traced into the solves).
+    # None = config default (dtype eps floor). bf16-stored-V runs set
+    # this to ~bf16 eps: their MTTKRP/caches carry ~4e-3 relative noise,
+    # and reciprocating S eigendirections below the DATA noise level
+    # amplifies it ~1000x into the factors (the round-3/4 bf16 rt0.1
+    # first-PP-sweep blow-ups).
+    rcond: object = None
 
 
 @dataclass
@@ -98,7 +105,7 @@ class CPResult:
 
 
 @partial(jax.jit, static_argnames=("solver", "normalize", "root_split"))
-def dt_sweep(V, Ws, lam, layouts=None, *, solver: str = "svd",
+def dt_sweep(V, Ws, lam, layouts=None, rcond=None, *, solver: str = "svd",
              normalize: bool = True, root_split: int = None):
     """One full DT-ALS sweep: per-mode MTTKRP from the binary dimension tree,
     S assembly, gradient, solve. Returns (Ws_new, grads).
@@ -118,7 +125,7 @@ def dt_sweep(V, Ws, lam, layouts=None, *, solver: str = "svd",
         M = sweep.mttkrp(i)
         S = contract.hadamard_gram(sweep.factors, skip_mode=i, regul=lam)
         grads[i] = contract.gradsubprob(M, S, sweep.factors[i])
-        sweep.factors[i] = solve.solve(M, S, method=solver)
+        sweep.factors[i] = solve.solve(M, S, method=solver, rcond=rcond)
     Ws = sweep.factors
     if normalize:
         Ws = contract.normalize_factors(Ws)
@@ -126,7 +133,8 @@ def dt_sweep(V, Ws, lam, layouts=None, *, solver: str = "svd",
 
 
 @partial(jax.jit, static_argnames=("solver", "normalize"))
-def simple_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
+def simple_sweep(V, Ws, lam, rcond=None, *, solver: str = "svd",
+                 normalize: bool = True):
     """One plain ALS sweep with exact per-mode MTTKRP (alsCP body,
     als_CP.cxx:66-99 / cp_simple_optimizer.cxx:step)."""
     order = V.ndim
@@ -136,7 +144,7 @@ def simple_sweep(V, Ws, lam, *, solver: str = "svd", normalize: bool = True):
         M = contract.mttkrp(V, Ws, i)
         S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
         grads[i] = contract.gradsubprob(M, S, Ws[i])
-        Ws[i] = solve.solve(M, S, method=solver)
+        Ws[i] = solve.solve(M, S, method=solver, rcond=rcond)
     if normalize:
         Ws = contract.normalize_factors(Ws)
     return Ws, grads
@@ -149,7 +157,7 @@ def pp_build_caches(V, Ws, layouts=None):
 
 
 @partial(jax.jit, static_argnames=("solver", "normalize"))
-def pp_sweep(single, pair, Ws, W_init, dWs, lam, ratio_step,
+def pp_sweep(single, pair, Ws, W_init, dWs, lam, ratio_step, rcond=None,
              *, solver: str = "svd", normalize: bool = True):
     """One PP sweep (als_CP.cxx:753-825): per mode, first-order-corrected
     MTTKRP from the caches, S from *current* factors, damped solve.
@@ -162,8 +170,10 @@ def pp_sweep(single, pair, Ws, W_init, dWs, lam, ratio_step,
         M = contract.pp_correct_mttkrp(single[i], pair, dWs, i)
         S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
         grads[i] = contract.gradsubprob(M, S, Ws[i])
-        Ws[i], dWs[i] = solve.svd_solve_mod(M, W_init[i], S, ratio_step) \
-            if solver == "svd" else _chol_solve_mod(M, W_init[i], S, ratio_step)
+        Ws[i], dWs[i] = \
+            solve.svd_solve_mod(M, W_init[i], S, ratio_step, rcond) \
+            if solver == "svd" \
+            else _chol_solve_mod(M, W_init[i], S, ratio_step)
     if normalize:
         Ws = contract.normalize_factors(Ws)
     return Ws, dWs, grads
@@ -313,6 +323,11 @@ def _as_list(Ws):
     return [jnp.asarray(W) for W in Ws]
 
 
+def _cfg_rcond(cfg, dtype):
+    """cfg.rcond as a traced scalar (None passes through)."""
+    return None if cfg.rcond is None else jnp.asarray(cfg.rcond, dtype)
+
+
 def warm_compile(jfn, *args, **kwargs):
     """Warm a jitted function by EXECUTING it once (result discarded,
     completion forced). Host drivers call this inside the excluded-time
@@ -441,8 +456,9 @@ def _als_generic(V, Ws, cfg: CPConfig, plot, sweep_fn, clock=None) -> CPResult:
     it = 0
     converged = False
     lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    rc = _cfg_rcond(cfg, Ws[0].dtype)
     with clock.exclude():
-        warm_compile(sweep_fn, V, Ws, lam, solver=cfg.solver)
+        warm_compile(sweep_fn, V, Ws, lam, rcond=rc, solver=cfg.solver)
         calibrate_rtt(clock, Ws[0])
     while it <= cfg.maxiter:
         if it % cfg.resprint == 0 or it == cfg.maxiter:
@@ -454,7 +470,7 @@ def _als_generic(V, Ws, cfg: CPConfig, plot, sweep_fn, clock=None) -> CPResult:
             if dtime > cfg.timelimit:
                 break
         Ws, _ = tracing.timed("cp.sweep", sweep_fn, V, Ws, lam,
-                              solver=cfg.solver)
+                              rcond=rc, solver=cfg.solver)
         it += 1
     return CPResult(Ws, gn, diffV, it, converged, history)
 
@@ -465,8 +481,9 @@ def _dt_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq):
     order = V.ndim
     W_prev = [jnp.zeros_like(W) for W in Ws]
     lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    rc = _cfg_rcond(cfg, Ws[0].dtype)
     with clock.exclude():
-        warm_compile(dt_sweep, V, Ws, lam, solver=cfg.solver,
+        warm_compile(dt_sweep, V, Ws, lam, rcond=rc, solver=cfg.solver,
                      root_split=cfg.tree_split)
         calibrate_rtt(clock, Ws[0])
     while state["iter"] <= cfg.maxiter:
@@ -481,7 +498,7 @@ def _dt_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq):
             if dtime > cfg.timelimit:
                 return Ws, dWs, "timelimit"
         Ws, grads = tracing.timed("cp.dt_sweep", dt_sweep, V, Ws, lam,
-                                  solver=cfg.solver,
+                                  rcond=rc, solver=cfg.solver,
                                   root_split=cfg.tree_split)
         state["grads"] = grads
         dWs = [W - Wp for W, Wp in zip(Ws, W_prev)]
@@ -500,6 +517,7 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
     order = V.ndim
     init_iter = state["iter"]
     lam = jnp.asarray(cfg.lam, dtype=V.dtype)
+    rc = _cfg_rcond(cfg, Ws[0].dtype)
     W_init = None
     single = pair = None
     # partial-update state (als_CP.cxx:886-898)
@@ -524,7 +542,8 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
             if not partial_update:
                 zeros = [jnp.zeros_like(W) for W in Ws]
                 warm_compile(pp_sweep, s_w, p_w, list(Ws), list(Ws), zeros,
-                             lam, cfg.ratio_step, solver=cfg.solver)
+                             lam, cfg.ratio_step, rcond=rc,
+                             solver=cfg.solver)
             state["warm_caches"] = (s_w, p_w)
             state["pp_warmed"] = True
     gn_floor = float("inf")  # running min for the gradnorm-growth guard
@@ -537,10 +556,14 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                 rg = _host_pull(clock, ratios_and_gradnorm(
                     Ws, dWs, state["grads"]))
                 ratios, gn_est = rg[:-1], float(rg[-1])
-                if gn_est > cfg.gn_guard * gn_floor:
-                    # the last sweep went uphill hard (low-precision
-                    # near-singular solve); discard it and restart from
-                    # the last healthy iterate
+                # revert guards (see pp_fused_chunk): gradnorm growth OR
+                # a factor that moved by >> its own norm in one sweep (a
+                # last-mode solve explosion is invisible to gn_est)
+                if gn_est > cfg.gn_guard * gn_floor or \
+                        float(np.max(np.abs(ratios))) \
+                        > max(5.0 * cfg.pp_res_tol, 0.5):
+                    # discard the blown sweep and restart from the last
+                    # healthy iterate
                     return Ws_pre, dWs_pre, "restart"
                 gn_floor = min(gn_floor, gn_est)
             else:
@@ -577,7 +600,7 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
         if not partial_update:
             Ws, dWs, grads = tracing.timed(
                 "cp.pp_sweep", pp_sweep, single, pair, Ws, W_init, dWs, lam,
-                cfg.ratio_step, solver=cfg.solver)
+                cfg.ratio_step, rcond=rc, solver=cfg.solver)
             state["grads"] = grads
         else:
             # one device dispatch per sweep: ranking, top-k solves and dM
@@ -784,9 +807,11 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
         broke2 = jnp.any(jnp.abs(ratios) > tol_init)
         gn2, diffV = _pp_sweep_norm_stats(V_norm_sq, single, pair,
                                           list(Ws2), list(dWs2), grads)
-        # gn-growth guard: revert an uphill sweep and exit to DT (cf.
-        # pp_fused_chunk)
-        blown = gn2 > 10.0 * gn_floor
+        # gn-growth / ratio-explosion guards: revert an uphill or blown
+        # sweep and exit to DT (cf. pp_fused_chunk)
+        blown = (gn2 > 10.0 * gn_floor) \
+            | (jnp.max(jnp.abs(ratios))
+               > jnp.maximum(5.0 * tol_init, 0.5))
         Ws2 = tuple(jnp.where(blown, a, b) for a, b in zip(Ws, Ws2))
         dWs2 = tuple(jnp.where(blown, a, b) for a, b in zip(dWs, dWs2))
         gn2 = jnp.where(blown, gn, gn2)
@@ -972,7 +997,8 @@ def pp_fused_init(V, Ws, max_hist: int, n_slots: int = 0):
                           "max_hist", "root_split", "n_slots",
                           "single_specs", "pair_specs"))
 def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
-                   layouts=None, gn_guard=0.0, *, solver: str = "svd",
+                   layouts=None, gn_guard=0.0, rcond=None, *,
+                   solver: str = "svd",
                    chunk: int = 64,
                    resprint: int = 10, pp_cap: int = 15, max_hist: int = 512,
                    root_split: int = None, n_slots: int = 0,
@@ -1018,8 +1044,8 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
     def dt_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, gn,
          stop, hist, snaps, snap_labels, snap_n, gn_floor) = st
-        Ws2, grads = dt_sweep(V, list(Ws), lam, layouts, solver=solver,
-                              root_split=root_split)
+        Ws2, grads = dt_sweep(V, list(Ws), lam, layouts, rcond,
+                              solver=solver, root_split=root_split)
         dWs2 = tuple(a - b for a, b in zip(Ws2, W_prev))
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         quiet = jnp.all(jnp.abs(ratios) < tol_init)
@@ -1052,19 +1078,20 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
         single2 = tuple(single_d[i] for i in range(order))
         pair2 = tuple(pair_d[k] for k in keys)
         zeros = tuple(jnp.zeros_like(W) for W in Ws)
-        # reset the gn-growth guard floor: a fresh cache anchors a new
-        # PP phase whose gradnorm scale starts over
-        inf = jnp.asarray(jnp.inf, Ws[0].dtype)
+        # seed the gn-growth guard floor with the DT gradnorm at build
+        # time: PP and DT gn estimates share a scale at a phase
+        # boundary, and an inf floor left the FIRST PP sweep of every
+        # phase unguarded (exactly where the bf16 blow-ups struck)
         return (it, jnp.asarray(2), jnp.asarray(0), Ws, W_prev, zeros,
                 tuple(Ws), single2, pair2, gn, stop, hist, snaps,
-                snap_labels, snap_n, inf)
+                snap_labels, snap_n, gn)
 
     def pp_branch(st):
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, gn,
          stop, hist, snaps, snap_labels, snap_n, gn_floor) = st
         pair_d = {k: p for k, p in zip(keys, pair_t)}
         Ws2, dWs2, grads = pp_sweep(single, pair_d, list(Ws), list(W_init),
-                                    list(dWs), lam, ratio_step,
+                                    list(dWs), lam, ratio_step, rcond,
                                     solver=solver)
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
         broke = jnp.any(jnp.abs(ratios) > tol_init)
@@ -1072,14 +1099,32 @@ def pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol, maxiter,
         gn2, dv2 = _pp_sweep_norm_stats(V_norm_sq, single, pair_d,
                                         list(Ws2), list(dWs2), grads)
         it2 = it + 1
-        # gradnorm-growth guard (CPConfig.gn_guard): a low-precision PP
-        # sweep can go uphill without tripping the dW restart tolerance;
-        # growth beyond gn_guard x the phase minimum REVERTS the sweep
-        # and forces a DT restart from the last healthy iterate
-        blown = (gn_guard > 0) & (gn2 > gn_guard * gn_floor)
+        # Guards (CPConfig.gn_guard) — a low-precision PP sweep can blow
+        # up without any in-sweep gradient seeing it (a LAST-mode solve
+        # explosion is invisible to gn2, whose per-mode grads are
+        # computed pre-solve). Two signals, both REVERT the sweep and
+        # force a DT restart from the last healthy iterate:
+        #  - gradnorm growth beyond gn_guard x the phase minimum
+        #    (catches early/mid-mode blow-ups), and
+        #  - a factor moving far beyond the restart tolerance in one
+        #    sweep (max ||dW||/||W|| above max(5 tol_init, 0.5)): PP
+        #    phases START quiet (every ratio < tol_init), so a single
+        #    sweep travelling 5x the drift tolerance is a solve blow-up,
+        #    not drift — measured: the time-lapse bf16 rt0.1 explosion
+        #    moved a factor by 4.4x its norm in one sweep while healthy
+        #    sweeps stayed under 0.1. The reference's gentle restart at
+        #    tol_init keeps the iterate; this pathological threshold
+        #    must not.
+        ratio_blow = jnp.max(jnp.abs(ratios)) \
+            > jnp.maximum(5.0 * tol_init, 0.5)
+        blown = (gn_guard > 0) & ((gn2 > gn_guard * gn_floor)
+                                  | ratio_blow)
         Ws2 = tuple(jnp.where(blown, a, b) for a, b in zip(Ws, Ws2))
         dWs2 = tuple(jnp.where(blown, a, b) for a, b in zip(dWs, dWs2))
         gn2 = jnp.where(blown, gn, gn2)
+        # a reverted sweep's hist row keeps the previous diffV estimate
+        # too (hist[it] holds the post-DT value at phase entry)
+        dv2 = jnp.where(blown, hist[jnp.minimum(it, max_hist - 1), 1], dv2)
         gn_floor2 = jnp.minimum(gn_floor, gn2)
         hist2 = write_hist(hist, it2, gn2, dv2, 1.0)
         snaps2, labels2, n2 = maybe_snap(it2, Ws2, snaps, snap_labels,
@@ -1157,6 +1202,7 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
                    root_split=cfg.tree_split, n_slots=n_slots,
                    single_specs=single_specs, pair_specs=pair_specs)
     gn_guard = jnp.asarray(cfg.gn_guard, dtype=dtype)
+    rcond = _cfg_rcond(cfg, dtype)
 
     history: list = []
     with clock.exclude():
@@ -1171,7 +1217,7 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
         # dispatches (chunk is static and identical).
         warm_carry = carry[:10] + (jnp.asarray(True),) + carry[11:]
         warm_compile(pp_fused_chunk, V, warm_carry, lam, ratio_step,
-                     tol_init, gn_tol, maxiter, layouts, gn_guard,
+                     tol_init, gn_tol, maxiter, layouts, gn_guard, rcond,
                      **statics)
         del warm_carry
         warm_compile(cp_diagnostics, V_norm_sq, V, Ws, lam)
@@ -1190,7 +1236,8 @@ def als_cp_pp_fused(V, Ws, cfg: CPConfig,
     t_prev = clock.dtime()
     while True:
         carry = pp_fused_chunk(V, carry, lam, ratio_step, tol_init, gn_tol,
-                               maxiter, layouts, gn_guard, **statics)
+                               maxiter, layouts, gn_guard, rcond,
+                               **statics)
         it_now = int(_host_pull(clock, carry[0]))
         stop = bool(_host_pull(clock, carry[10]))
         t_now = clock.dtime()

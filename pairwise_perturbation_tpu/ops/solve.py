@@ -57,7 +57,12 @@ def _psd_pinv(S, rcond: Optional[float] = None, precision=None):
     """
     if rcond is None:
         rcond = config.get().rcond
-    rcond = max(float(rcond), _eps_floor(S.dtype, S.shape[-1]))
+    floor = _eps_floor(S.dtype, S.shape[-1])
+    # rcond may be a TRACED scalar (drivers thread a per-run cutoff, e.g.
+    # ~bf16 eps for bf16-stored-V runs whose MTTKRP/caches carry ~4e-3
+    # relative noise — reciprocating eigendirections below the DATA noise
+    # amplifies it 1000x into the factors)
+    rcond = jnp.maximum(jnp.asarray(rcond, S.dtype), floor)
     lam, Q = jnp.linalg.eigh(S)
     cutoff = rcond * jnp.max(jnp.abs(lam))
     inv = jnp.where(jnp.abs(lam) > cutoff, 1.0 / lam, 0.0)

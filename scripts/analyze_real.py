@@ -80,9 +80,12 @@ def main():
         # attainment requires >= 3 consecutive logged rows at or below it
         fw_final = sustained_fitness(fw)
         base_final = sustained_fitness(base)
-        target = max(fw_final, base_final)
-        t_fw, it_fw = time_to_sustained(fw, target * 1.0000001)
-        t_b, it_b = time_to_sustained(base, target * 1.0000001)
+        # equal fitness up to 1e-4 RELATIVE: logged rows oscillate at
+        # that level on their plateaus, so a tighter band turns
+        # sub-resolution differences into spurious 'never's
+        target = max(fw_final, base_final) * 1.0001
+        t_fw, it_fw = time_to_sustained(fw, target)
+        t_b, it_b = time_to_sustained(base, target)
         speedup = (t_b / t_fw) \
             if (t_b is not None and t_fw) else None
         out_rows.append(dict(
@@ -112,9 +115,10 @@ def main():
           "reference accounting) until diffV reaches the target "
           "SUSTAINED — target = the worse of the two runs' sustained "
           "fitness (min of final-quartile logged rows, not a transient "
-          "dip), attainment = >= 3 consecutive logged rows at/below it "
-          "or held to end-of-run. `last row` = the fitness each run "
-          "actually ended at.",
+          "dip) within a 1e-4 relative equal-fitness band (plateau "
+          "oscillation resolution), attainment = >= 3 consecutive "
+          "logged rows at/below it or held to end-of-run. `last row` = "
+          "the fitness each run actually ended at.",
           "",
           "| config | target diffV | TPU s (iters) | CPU s (iters) "
           "| speedup | TPU last row | CPU last row |",
@@ -165,7 +169,7 @@ def main():
             continue
         dt_final = sustained_fitness(dt_rows)
         pp_final = sustained_fitness(pp_rows)
-        target = max(dt_final, pp_final) * 1.0000001
+        target = max(dt_final, pp_final) * 1.0001  # 1e-4 relative band
         t_dt, it_dt = time_to_sustained(dt_rows, target)
         t_pp, it_pp = time_to_sustained(pp_rows, target)
         if it_dt == 0 or it_pp == 0:

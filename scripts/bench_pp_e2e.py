@@ -194,9 +194,17 @@ def main():
                 if (t_dt is not None and t_pp) else None
             print(f"  target {target:.6e} (sustained): DT {t_dt} s, "
                   f"PP {t_pp} s, speedup {speedup}", flush=True)
+            # phase mix of the fused machine (VERDICT r3 weak #3: why
+            # does PP's e2e margin trail its per-sweep advantage?):
+            # fraction of logged rows in PP phase + phase flip count —
+            # heavy DT share or restart churn shows up here
+            pps = [h.get("pp", 0) for h in res_pp.history]
+            flips = sum(1 for a, b in zip(pps, pps[1:]) if a != b)
             entry = dict(
                 shape=list(shape), rank=R, restol=rt,
                 maxiter=cfg_d["maxiter"],
+                pp_row_fraction=(sum(pps) / max(len(pps), 1)),
+                pp_phase_flips_logged=flips,
                 dt_final_diffV=res_dt.diffV, pp_final_diffV=res_pp.diffV,
                 dt_last_row_diffV=final_row_fitness(res_dt.history),
                 pp_last_row_diffV=final_row_fitness(res_pp.history),

@@ -87,3 +87,38 @@ def test_host_pp_gradnorm_phase_consistent():
     gns = [r["gradnorm"] for r in rows if r["iter"] > 0]
     for a, b in zip(gns, gns[1:]):
         assert b / max(a, 1e-30) < 200.0, (a, b)
+
+
+def test_bf16_pp_no_first_sweep_blowup():
+    """bf16-stored V feeds ~4e-3 relative noise into the PP caches, and
+    the fused guard must have a DT baseline for the FIRST PP sweep of
+    each phase — the round-4 time-lapse rt0.1 bf16 run blew up exactly
+    there (gn 6e6 -> 2.7e9 on a phase's first sweep, diffV regressing
+    past its init). The DT-seeded guard floor (build_branch) plus sweep
+    revert must keep the trajectory clean WITHOUT rcond truncation
+    (truncating at bf16 eps costs ~3-40% final fitness — measured on
+    coil/time-lapse — so production keeps the f32 floor and relies on
+    the guard; CPConfig.rcond stays available as a knob)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pairwise_perturbation_tpu.models import cp
+    from pairwise_perturbation_tpu.utils import synth
+
+    V = synth.make_tensor("c", dim=4, s=20, R=6, col_min=0.85,
+                          col_max=0.99, ratio_noise=0.01, seed=5,
+                          dtype=np.float32)
+    V16 = jnp.asarray(V, dtype=jnp.bfloat16)
+    W0 = cp.init_factors(V.shape, 6, dtype=jnp.float32)
+    cfg = cp.CPConfig(tol=0.0, pp_res_tol=0.1, maxiter=120, resprint=10,
+                      solver="svd")
+    res = cp.als_cp_pp_fused(V16, W0, cfg, chunk=32)
+    gns = [h["gradnorm"] for h in res.history]
+    dvs = [h["diffV"] for h in res.history]
+    assert all(np.isfinite(g) for g in gns)
+    # no sustained explosion: late rows bounded vs the best seen
+    gmin = min(gns[1:])
+    assert max(gns[len(gns) // 2:]) < 1e3 * gmin, (max(gns), gmin)
+    # fitness must not end worse than its initial value (the blow-up
+    # signature was final diffV > init diffV)
+    assert dvs[-1] < dvs[0]
+    assert dvs[-1] < 5 * min(dvs)
