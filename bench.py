@@ -500,7 +500,7 @@ def main() -> int:
         # Own section: their chain programs' scratch reservations only
         # fit when this process loaded almost nothing else (the "lr"
         # part runs with the bare minimum — no dt_sweep, no PP caches)
-        if _sec("lr"):
+        if _sec("lr") or _sec("lrdt") or _sec("lrmsdt"):
             from pairwise_perturbation_tpu.models import optimizers as _opt
 
             def time_opt(make, n_steps=20):
@@ -517,10 +517,9 @@ def main() -> int:
                 # Sync EVERY step: each LR step queues a ~GB first-level
                 # top, so back-to-back dispatch holds many steps' buffers
                 # live at once and OOMs the chip (found the hard way).
-                cycle = 2 * len(shape) \
-                    * getattr(o, "num_subiteration", 1)
+                cycle = 2 * len(shape)
                 quiet = 0
-                for _ in range(8 * cycle):
+                for _ in range(16 * cycle):
                     ts = time.perf_counter()
                     o.step()
                     _pull(o.W[0])
@@ -539,11 +538,28 @@ def main() -> int:
                      - pull_overhead * n_steps) / n_steps,
                     1e-9)
 
-            dtlr_step = time_opt(
-                lambda: _opt.CPDTLROptimizer(len(shape), R, 1, False))
-            msdtlr_step = time_opt(
-                lambda: _opt.CPMSDTLROptimizer(len(shape), R, 1, False,
-                                               min_holdout_size=8))
+            # each optimizer in its own part when requested: the
+            # compile-free-cycle warmup loads every (position x refresh x
+            # fused) signature as a resident executable, and BOTH
+            # optimizers' programs no longer fit one process's scratch
+            # budget through the relay
+            if _sec("lr") or _sec("lrdt"):
+                # num_subiteration=100: time the WITHIN-ROTATION steady
+                # state. Every special_index rotation changes the
+                # (positions,) jit signatures, and through this relay
+                # each loaded executable's multi-GB scratch reservation
+                # stays resident for the process lifetime — warming all
+                # ~24 rotation signatures OOMs the chip. Production pays
+                # one plain first-level contraction extra per rotation
+                # (every 2*num_subiteration steps), reported separately
+                # as the dt_sweep/chain_top cost.
+                dtlr_step = time_opt(
+                    lambda: _opt.CPDTLROptimizer(len(shape), R, 1, False,
+                                                 num_subiteration=100))
+            if _sec("lr") or _sec("lrmsdt"):
+                msdtlr_step = time_opt(
+                    lambda: _opt.CPMSDTLROptimizer(
+                        len(shape), R, 1, False, min_holdout_size=8))
 
         sparse_sweep = sparse_cache_build = None  # measured at suite end
 
@@ -698,7 +714,8 @@ def main() -> int:
             extra["dt_tflops_effective"] = round(
                 flops_per_sweep / dt_sweep_time / 1e12, 3)
         # head sub-bench metrics are None in lean PP_BENCH_SECTIONS parts
-        extra.update({k: round(v, 6) for k, v in {
+        extra.update({k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in {
             "dt_sweep_seconds_planner_split": dt_sweep_planner,
             "pp_sweep_seconds": pp_sweep_time,
             "pp_cache_build_seconds": pp_build_time,
@@ -720,7 +737,8 @@ def main() -> int:
         if full:
             # sections skipped via PP_BENCH_SECTIONS leave their metrics
             # as None — omit those keys (run_full_bench.sh merges parts)
-            extra.update({k: round(v, 6) for k, v in {
+            extra.update({k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in {
                 "timelapse_dt_sweep_seconds": tl_dt,
                 "timelapse_dt_sweep_seconds_bf16v": tl_dt_bf16,
                 "timelapse_pp_cache_build_seconds": tl_build,
@@ -765,9 +783,11 @@ def main() -> int:
         e2e = json.load(open(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "results",
             "pp_e2e.json")))
+        # unsuffixed entries = per-config best over the restol grid
+        # (the _rtX grid points live in results/pp_e2e.json)
         extra["pp_e2e_speedup"] = {
             k: round(v["speedup"], 3) for k, v in e2e.items()
-            if v.get("speedup")}
+            if v.get("speedup") and "_rt" not in k}
     except Exception:
         pass
 

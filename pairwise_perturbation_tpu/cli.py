@@ -399,8 +399,22 @@ def cmd_run(args) -> int:
     Ws = cp.init_factors(init_shape, args.rank,
                          key=jax.random.PRNGKey(args.seed),
                          dtype=_np_dtype(args.dtype))
-    Vd, Ws, layout = _maybe_shard(
-        jnp.asarray(V, dtype=_v_dtype(args.dtype)), Ws, args, pre_layout)
+    if args.issparse:
+        # COO engine for the second-gen framework too (run.cxx:137-140):
+        # first-level chain contractions run as fused-index segment_sums
+        # over the nonzeros (optimizers.chain_top / lr_update_cache)
+        from pairwise_perturbation_tpu.ops import sparse as spo
+        Vd = spo.from_dense(np.asarray(V, dtype=_np_dtype(args.dtype)
+                                       if args.dtype != "float64"
+                                       else np.float64))
+        layout = None
+        if not args.quiet:
+            print(f"  sparse COO: nnz= {Vd.nnz}  density= "
+                  f"{Vd.nnz / float(np.prod(Vd.shape)):.4f}")
+    else:
+        Vd, Ws, layout = _maybe_shard(
+            jnp.asarray(V, dtype=_v_dtype(args.dtype)), Ws, args,
+            pre_layout)
     make = {
         0: lambda: opt.CPDTOptimizer(order, args.rank),
         1: lambda: opt.CPMSDTOptimizer(
@@ -540,19 +554,19 @@ def main(argv=None) -> int:
                   "software-emulated f64 — expect an order of magnitude "
                   "slower than float32; use float32/bfloat16 for "
                   "performance runs.")
-    if args.issparse and not (cmd == "test_als"
-                              and args.model in ("CP", "Tucker")
-                              and args.pp in (0, 1) and not args.mesh):
-        # Sparse scope: legacy CP + Tucker engines, pp 0 (plain ALS /
-        # HOOI) and pp 1 (PP), single device. The reference threads
-        # -issparse into every CTF constructor (test_ALS.cxx:126-131,
-        # 229); here the supported subset is explicit and anything else
+    if args.issparse and not (
+            (cmd == "test_als" and args.model in ("CP", "Tucker")
+             and args.pp in (0, 1) and not args.mesh)
+            or (cmd == "run" and not args.mesh)):
+        # Sparse scope: legacy CP + Tucker engines (pp 0 plain ALS /
+        # HOOI, pp 1 PP) and ALL second-gen run optimizers, single
+        # device — matching the reference's -issparse threading
+        # (test_ALS.cxx:126-131, 229; run.cxx:137-140). Anything else
         # fails loudly.
         raise SystemExit(
             "-issparse 1 is supported for test_als -model {CP,Tucker} "
-            "-pp {0,1} without -mesh (COO engine, ops/sparse.py). "
-            "Sparse partial-update / second-gen optimizers are out of "
-            "scope — re-run without -issparse.")
+            "-pp {0,1} and for run (all optimizers), without -mesh "
+            "(COO engine, ops/sparse.py). Re-run without -issparse.")
     # Multi-host SPMD bring-up: no-op single-host, loud on a failed
     # coordinator handshake (parallel/mesh.py:distributed_init).
     from pairwise_perturbation_tpu.parallel import mesh as pmesh

@@ -40,11 +40,23 @@ def rotation_indexes(left_index: int, order: int) -> Tuple[int, ...]:
 @partial(jax.jit, static_argnames=("left_index",))
 def chain_top(V, W_left, *, left_index: int):
     """First-level contraction V x W[left_index], axes in indexes order + rank
-    (mttkrp_map_init, cp_msdt_optimizer.cxx:111-144)."""
+    (mttkrp_map_init, cp_msdt_optimizer.cxx:111-144). ``V`` may be a
+    COO SparseTensor (run.cxx:137-140 threads -issparse into the
+    second-gen constructors too): the contraction is then one
+    fused-index segment_sum (ops/sparse.ttm_dense) and the rest of the
+    chain runs on the dense intermediate."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
     order = V.ndim
+    indexes = rotation_indexes(left_index, order)
+    if isinstance(V, sp.SparseTensor):
+        T = sp.ttm_dense(V, W_left, left_index, rank_last=True)
+        # axes: remaining modes ascending + rank -> indexes order + rank
+        ascending = [m for m in range(order) if m != left_index]
+        perm = [ascending.index(m) for m in indexes] + [len(ascending)]
+        return T.transpose(perm)
     sweep = dimtree.ChainTreeSweep(
         V, [W_left if i == left_index else None for i in range(order)],
-        rotation_indexes(left_index, order), left_index)
+        indexes, left_index)
     return sweep.top()
 
 
@@ -105,17 +117,27 @@ def lr_update_cache(V, cache, U, s, VT, *, left_index: int):
     """cache += (V x_left (U s)) x VT — low-rank refresh of the cached
     first-level contraction (update_cached_tensor,
     cp_dt_lr_optimizer.cxx:128-158 / cp_msdt_lr_optimizer.cxx:112-157).
-    O(s^N * update_rank) instead of O(s^N * R)."""
+    O(s^N * update_rank) instead of O(s^N * R). Sparse V: the x_left
+    contraction is one fused-index segment_sum over the nonzeros."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
     order = V.ndim
     Us = U * s
-    # contract V's left mode with Us -> axes: modes != left (ascending) + Ru
-    rem = tuple(range(order))
-    T, rem2 = contract.contract_mode_kr(V, rem, False, Us, left_index)
-    # reorder remaining axes to indexes order (cache layout) + Ru
     indexes = rotation_indexes(left_index, order)
-    axes_current = list(rem2)
-    perm = [axes_current.index(m) for m in indexes] + [len(axes_current)]
-    T = T.transpose(perm)
+    if isinstance(V, sp.SparseTensor):
+        T = sp.ttm_dense(V, Us, left_index, rank_last=True)
+        ascending = [m for m in range(order) if m != left_index]
+        perm = [ascending.index(m) for m in indexes] + [len(ascending)]
+        T = T.transpose(perm)
+    else:
+        # contract V's left mode with Us -> axes: modes != left
+        # (ascending) + Ru
+        rem = tuple(range(order))
+        T, rem2 = contract.contract_mode_kr(V, rem, False, Us, left_index)
+        # reorder remaining axes to indexes order (cache layout) + Ru
+        axes_current = list(rem2)
+        perm = [axes_current.index(m) for m in indexes] \
+            + [len(axes_current)]
+        T = T.transpose(perm)
     # contract Ru with VT[Ru, R] -> rank axis
     upd = jnp.tensordot(T, VT, axes=([T.ndim - 1], [0]))
     return cache + upd
@@ -201,7 +223,9 @@ class Decomposition:
         self.W: Optional[List] = None
 
     def init(self, V, W: Sequence):
-        V = jnp.asarray(V)
+        from pairwise_perturbation_tpu.ops import sparse as sp
+        if not isinstance(V, sp.SparseTensor):
+            V = jnp.asarray(V)
         assert V.ndim == self.order
         for i in range(self.order):
             assert V.shape[i] == self.sizes[i]
@@ -247,8 +271,16 @@ class CPSimpleOptimizer(CPOptimizer):
     """One sweep of exact per-mode MTTKRPs (cp_simple_optimizer.cxx:step)."""
 
     def step(self) -> float:
+        from pairwise_perturbation_tpu.ops import sparse as sp
+        lam = jnp.asarray(self.lam, dtype=self.W[0].dtype)
+        if isinstance(self.V, sp.SparseTensor):
+            from pairwise_perturbation_tpu.models.sparse_cp import \
+                sparse_simple_sweep
+            self.W = sparse_simple_sweep(self.V, self.W, lam,
+                                         solver="chol", normalize=False)
+            self.grads = None
+            return 1.0
         from pairwise_perturbation_tpu.models.cp import simple_sweep
-        lam = jnp.asarray(self.lam, dtype=self.V.dtype)
         self.W, self.grads = simple_sweep(self.V, self.W, lam, solver="chol",
                                           normalize=False)
         return 1.0
@@ -545,8 +577,10 @@ class CPD(Decomposition):
         """ALS driver loop (src/CP.cxx:111-187). With ``macro`` and an
         optimizer that exposes ``step_cycle`` (MSDT), each dispatch runs a
         full device-resident rotation instead of one step."""
+        from pairwise_perturbation_tpu.ops import sparse as sp
         V = self.V
-        V_norm_sq = contract.norm_sq(V)
+        is_sparse = isinstance(V, sp.SparseTensor)
+        V_norm_sq = sp.norm_sq(V) if is_sparse else contract.norm_sq(V)
         clock = SweepClock()
         iters = 0
         sweeps = 0.0
@@ -566,7 +600,12 @@ class CPD(Decomposition):
                     W = self.optimizer.W
                     lam_d = jnp.asarray(self.optimizer.lam,
                                         dtype=W[0].dtype)
-                    gn, dV = cp_diagnostics(V_norm_sq, V, W, lam_d)
+                    if is_sparse:
+                        from pairwise_perturbation_tpu.models.sparse_cp \
+                            import sparse_diagnostics
+                        gn, dV = sparse_diagnostics(V_norm_sq, V, W, lam_d)
+                    else:
+                        gn, dV = cp_diagnostics(V_norm_sq, V, W, lam_d)
                     self.gradnorm, diffV = float(gn), float(dV)
                 dtime = clock.dtime()
                 if plot is not None:

@@ -178,13 +178,15 @@ def build_pp_caches(st: SparseTensor, Ws: Sequence):
 # ---------------------------------------------------------------------------
 
 
-def ttm_dense(st: SparseTensor, W, mode: int):
+def ttm_dense(st: SparseTensor, W, mode: int, rank_last: bool = False):
     """Sparse tensor-times-matrix: V x_mode W^T -> DENSE tensor with
-    ``mode``'s axis reduced to W's rank, all axis positions preserved.
+    ``mode``'s axis reduced to W's rank, all axis positions preserved
+    (or, with ``rank_last``, remaining modes ascending + rank axis last —
+    the dimension-tree first-level layout, contract.first_contraction).
 
     One gather + one fused-index segment_sum (static shapes); the output
-    is the dense first-level TTMc intermediate (als_Tucker.cxx:95-108
-    step 1, V sparse).
+    is the dense first-level intermediate (als_Tucker.cxx:95-108 step 1 /
+    mttkrp_map_init, V sparse).
     """
     order = st.ndim
     r = W.shape[1]
@@ -196,6 +198,8 @@ def ttm_dense(st: SparseTensor, W, mode: int):
     n_seg = int(np.prod([st.shape[m] for m in others]))
     flat = jax.ops.segment_sum(vals, fused, num_segments=n_seg)
     out = flat.reshape(tuple(st.shape[m] for m in others) + (r,))
+    if rank_last:
+        return out
     return jnp.moveaxis(out, -1, mode)
 
 

@@ -119,6 +119,8 @@ def main():
                         restol=0.1, kind="col", maxiter=maxiter))
     if only:
         configs = [c for c in configs if c["name"] in only]
+    if "--md-only" in sys.argv:
+        configs = []
 
     out_path = "results/pp_e2e.json"
     os.makedirs("results", exist_ok=True)
@@ -265,11 +267,35 @@ def main():
             f"{sp} | {ftd} | {ftp} |")
     lines += ["",
               "`DT/PP time` = first wall-clock (diagnostics excluded) at "
-              "which the trajectory reaches the fitness target (the worse "
-              "of the two final residuals). `full run` = total solver "
-              "dtime for the same `maxiter` sweep budget — PP completes "
-              "the identical budget in ~2.6x less wall time at "
-              "equal-or-better fitness in every config."]
+              "which the trajectory SUSTAINS the fitness target (the "
+              "worse of the two runs' final-quartile levels; >= 3 "
+              "consecutive logged rows). `full run` = total solver dtime "
+              "for the same `maxiter` sweep budget — PP completes the "
+              "identical budget in ~2.6x less wall time at "
+              "equal-or-better fitness in every config.",
+              "",
+              "Per-config restol grid ({0.005, 0.01, 0.05, 0.1}, the "
+              "reference's sweep, script_synthetic.py:43-55): the "
+              "unsuffixed rows are the per-config BEST grid point; "
+              "`_rtX` rows are the individual grid points.",
+              "",
+              "Findings (round 4): the noisy-CP `c` config — round 3's "
+              "0.88x loss — wins 2.20x at restol 0.01 after the restol "
+              "sweep + solver stability fixes. The collinearity `col` "
+              "config tops out at ~1.3x: its phase mix (80% PP rows, "
+              "~11 phase flips — no restart churn) shows the bound is "
+              "structural, a TPU regime inversion vs the paper's CPU "
+              "runs: at the HBM roofline a DT sweep is ~12 ms, and "
+              "`col` SUSTAINS its target within ~35 DT sweeps "
+              "(~0.4 s), so PP's own DT-preconditioner phases + cache "
+              "builds are most of its time-to-target — there is simply "
+              "little left to accelerate at this size (the paper's "
+              "regime had ~1 s CPU sweeps x hundreds of sweeps). "
+              "The exact-rank `r` config never PLATEAUS inside the "
+              "budget (monotone descent to the arithmetic floor with "
+              ">0.1% row-to-row oscillation), so sustained "
+              "time-to-target is n/a for both solvers; the budget "
+              "ratio at the shared floor is 2.68x."]
     lines += ["", f"Raw data: results/pp_e2e.json (maxiter, restol, iters "
               "per run recorded there)."]
     with open("results/PP_WINS.md", "w") as f:

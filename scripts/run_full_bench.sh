@@ -29,13 +29,14 @@ run_part() {
 # the process loaded almost nothing else.
 run_part dense "head,o3512,dense6"  # headline + 512^3 + order-6 + Tucker
 run_part pu    "pu"                 # PP partial-update (pp=2)
-run_part lr    "lr"                 # DT-LR + MSDT-LR (run pp=2/3)
+run_part lrdt   "lrdt"              # DT-LR (run pp=2)
+run_part lrmsdt "lrmsdt"            # MSDT-LR (run pp=3)
 run_part tl    "tl"                 # time-lapse + bf16 o3 + sparse
 
 python - << 'EOF'
 import json
 merged = {}
-for name in ("dense", "pu", "lr", "tl"):
+for name in ("dense", "pu", "lrdt", "lrmsdt", "tl"):
     d = json.loads(open(f"/tmp/ppbench/{name}.json").read().strip()
                    .splitlines()[-1])
     if d.get("error"):

@@ -109,8 +109,9 @@ def test_cli_issparse_out_of_scope_rejected():
     with pytest.raises(SystemExit):
         cli.main(["test_als", "-model", "CP", "-tensor", "r", "-pp", "2",
                   "-issparse", "1", "-quiet"])
-    with pytest.raises(SystemExit):
-        cli.main(["run", "-tensor", "r", "-issparse", "1", "-quiet"])
+    with pytest.raises(SystemExit):  # sparse + mesh not supported
+        cli.main(["run", "-tensor", "r", "-issparse", "1", "-mesh", "8",
+                  "-quiet"])
 
 
 # ---------------------------------------------------------------------------
@@ -219,3 +220,69 @@ def test_cli_issparse_tucker(tmp_path):
     last = rows[-1].split(",")
     assert np.isfinite(float(last[5]))
     assert float(last[5]) < 1.0  # < 0.5% of ||V||
+
+
+# ---------------------------------------------------------------------------
+# Sparse second-gen optimizers (run.cxx:137-140 threads -issparse there too)
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_chain_top_matches_dense(rng):
+    from pairwise_perturbation_tpu.models import optimizers as opt
+    V, st, Ws = _sparse_problem(rng, shape=(6, 7, 5, 6))
+    for left in range(4):
+        got = opt.chain_top(st, Ws[left], left_index=left)
+        want = opt.chain_top(jnp.asarray(V), Ws[left], left_index=left)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_msdt_matches_dense(rng):
+    """CPD + MSDT on a sparse V reproduces the dense trajectory."""
+    from pairwise_perturbation_tpu.models import optimizers as opt
+    V, st, _ = _sparse_problem(rng, shape=(6, 7, 5, 6))
+    R = 3
+    W0 = cp.init_factors(V.shape, R, dtype=jnp.float64)
+
+    def run(tensor):
+        o = opt.CPMSDTOptimizer(4, R)
+        m = opt.CPD(4, list(V.shape), R, o)
+        m.init(tensor, [jnp.array(w) for w in W0])
+        m.als(tol=0.0, timelimit=1e3, maxsweep=8, resprint=4)
+        return m
+
+    m_s = run(st)
+    m_d = run(jnp.asarray(V))
+    np.testing.assert_allclose(m_s.gradnorm, m_d.gradnorm, rtol=1e-7)
+    for a, b in zip(m_s.optimizer.W, m_d.optimizer.W):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-10)
+
+
+def test_sparse_lr_optimizer_runs(rng):
+    """DT-LR with a sparse V: low-rank cache refresh via sparse TTM."""
+    from pairwise_perturbation_tpu.models import optimizers as opt
+    V, st, _ = _sparse_problem(rng, shape=(6, 7, 5, 6))
+    R = 3
+    W0 = cp.init_factors(V.shape, R, dtype=jnp.float64)
+    o = opt.CPDTLROptimizer(4, R, update_rank=1)
+    m = opt.CPD(4, list(V.shape), R, o)
+    m.init(st, [jnp.array(w) for w in W0])
+    m.als(tol=0.0, timelimit=1e3, maxsweep=10, resprint=5)
+    assert np.isfinite(m.gradnorm)
+    hist = m.history
+    assert hist[-1]["diffV"] <= hist[0]["diffV"]
+
+
+def test_cli_run_issparse(tmp_path):
+    from pairwise_perturbation_tpu import cli
+    out = tmp_path / "sr.csv"
+    rc = cli.main(["run", "-tensor", "p", "-dim", "8", "-size", "5",
+                   "-rank", "3", "-pp", "1", "-maxiter", "10",
+                   "-resprint", "4", "-issparse", "1", "-quiet",
+                   "-filename", str(out)])
+    assert rc == 0
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) > 2
+    first, last = rows[1].split(","), rows[-1].split(",")
+    assert float(last[5]) <= float(first[5])
