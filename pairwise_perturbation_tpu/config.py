@@ -38,6 +38,15 @@ class NumericConfig:
     # mid_contract kernel. Off by default: measured slower than XLA's
     # einsum on v5e for the coil-100 shapes (see NOTES_ROUND1.md).
     use_pallas_first: bool = False
+    # Fuse the PP cache build's three chain roots into ONE pass over V
+    # (kernels/mttkrp_pallas.triple_roots) on eligible order-4 shapes
+    # (axis 0 smallest). MEASURED NEGATIVE on v5e coil-100: the fused
+    # kernel costs 11-12 ms vs the XLA 3-pass chain's 7.4 ms — serving
+    # three different-axis contractions from one tile forces small
+    # strided DMA chunks (<= 1 KB contiguous per lane tile) and
+    # R=10-wide GEMMs, which cost more than the two saved V reads.
+    # Kept as a tested experimental path; default OFF.
+    use_pallas_triple: bool = False
 
 
 _cfg = NumericConfig()

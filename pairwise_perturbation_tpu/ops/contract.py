@@ -381,6 +381,26 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
     # layout for the downstream correction dots.
     memo: Dict[Tuple[int, ...], Tuple] = {}
 
+    # Triple-root fusion (coil-100 class): when axis 0 is the smallest
+    # mode, EVERY chain's first contraction is one of axes {1, 2, 3},
+    # and the three roots can be computed in ONE pass over V instead of
+    # three (kernels/mttkrp_pallas.triple_roots) — the build's dominant
+    # HBM cost. Gated on config.use_pallas_triple.
+    import pairwise_perturbation_tpu.config as _cfg
+    _use_triple = (_cfg.get().use_pallas_triple if use_pallas is None
+                   else use_pallas)
+    if (_use_triple and order == 4 and priority[-1] == 0
+            and layouts is None):
+        from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas
+        if mttkrp_pallas.triple_roots_eligible(
+                V.shape, V.dtype, factors[0].shape[1]):
+            o1, o2, o3 = mttkrp_pallas.triple_roots(
+                V, factors[1], factors[2], factors[3],
+                interpret=bool(interpret))
+            memo[(1,)] = (o1, (0, 2, 3))
+            memo[(2,)] = (o2, (0, 1, 3))
+            memo[(3,)] = (o3, (0, 1, 2))
+
     def get(key: Tuple[int, ...]):
         if key not in memo:
             if len(key) == 1:

@@ -559,3 +559,180 @@ def last_contract(V, W, interpret: bool = False):
         interpret=interpret,
     )(V2, W)
     return out.reshape(shape[:-1] + (R,))
+
+
+# ---------------------------------------------------------------------------
+# Triple chain-root kernel: all three PP cache-build first-level
+# contractions in ONE pass over V
+# ---------------------------------------------------------------------------
+#
+# The PP cache build's memoized chains (contract.build_pp_caches) bottom
+# out in three distinct first-level contractions ("roots") — one per
+# largest mode — and each root re-reads the full tensor: on coil-100
+# (3, 128, 128, 7200) that is 3 x 1.4 GB of HBM traffic, the dominant
+# cost of the 7.6 ms build. When the three roots are axes {1, 2, 3} with
+# a small batch axis 0 (exactly the coil-100 class), one kernel can
+# compute all three partial contractions per V tile.
+#
+# MEASURED NEGATIVE RESULT on v5e (round 4): 11-12 ms fused vs 7.4 ms
+# for the XLA 3-pass chain, at L in {128, 256} (L=512 exceeds physical
+# VMEM with double buffering). Serving three different-axis contractions
+# from one resident tile forces the V block's contiguous DMA chunk down
+# to L*4 <= 1 KB (the tensor's 7200-wide minor dim is strided across the
+# tile) and every GEMM has an R=10 narrow dim; together they cost more
+# than the two saved 1.4 GB HBM passes. Kept as a correct, oracle-tested
+# experimental path (config.use_pallas_triple, default OFF) — the XLA
+# chain stays the production build. Pattern precedent: round 1's
+# use_pallas_first finding (single-root kernel also lost to XLA here).
+#
+#   for each grid step (p, l) with tile v = V[p, :, :, lL:(l+1)L]:
+#     O1[:, p, :, lL:] = W1^T (B1, x) v          # contract axis 1
+#     O2[:, p, :, lL:] = W2^T (B2, x) v          # contract axis 2
+#     O3[:, p, :, :]  += v (L, x) W3[lL:(l+1)L]  # contract axis 3 (acc)
+#
+# Outputs are RANK-MAJOR — the chain convention of build_pp_caches — so
+# they drop straight into the memo as the (m,) prefixes.
+
+
+def _triple_kernel(w1_ref, w2_ref, w3_ref, v_ref, mrow_ref,
+                   o1_ref, o2_ref, o3_ref):
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        o3_ref[:] = jnp.zeros_like(o3_ref)
+
+    v = v_ref[0]                                   # (B1, B2, L)
+    if v.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        v = v.astype(jnp.float32)
+    b1, b2, L = v.shape
+    # mask the ragged last lane tile: OOB lanes hold unspecified values
+    # (NaN under interpret) and O3 CONTRACTS the lane axis, so they must
+    # be neutralized with a select — a multiply would keep NaN*0 = NaN
+    # (O1/O2 only write them into sliced-off output columns, but zeros
+    # are safe there too)
+    v = jnp.where(mrow_ref[0, 0][None, None, :] > 0, v,
+                  jnp.zeros_like(v))
+    prec = _dot_prec(v.dtype)
+    w1 = w1_ref[:]                                 # (R, B1)
+    w2 = w2_ref[:]                                 # (R, B2)
+    w3 = w3_ref[:]                                 # (L, R)
+    if w1.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        w1, w2, w3 = (x.astype(jnp.float32) for x in (w1, w2, w3))
+    # All three contractions as single 2D GEMMs (a non-2D dot_general
+    # lowers to per-row matmul loops in Mosaic — measured 1.5x slower
+    # than the whole plain chain build):
+    # O1: (R, B1) @ (B1, B2*L)
+    g1 = jax.lax.dot_general(w1, v.reshape(b1, b2 * L),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    o1_ref[:, 0] = g1.reshape(-1, b2, L).astype(o1_ref.dtype)
+    # O2: transpose the tile's two sublane dims once, then
+    # (R, B2) @ (B2, B1*L)
+    vt = jnp.transpose(v, (1, 0, 2)).reshape(b2, b1 * L)
+    g2 = jax.lax.dot_general(w2, vt, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    o2_ref[:, 0] = g2.reshape(-1, b1, L).astype(o2_ref.dtype)
+    # O3: (B1*B2, L) @ (L, R), accumulated over the l grid
+    g3 = jax.lax.dot_general(v.reshape(b1 * b2, L), w3,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    o3_ref[:, 0] += jnp.transpose(g3.reshape(b1, b2, -1),
+                                  (2, 0, 1)).astype(o3_ref.dtype)
+
+
+def _triple_tile(B1: int, B2: int, M: int, itemsize: int = 4) -> int:
+    """Lane tile L: largest power-of-two block <= ~32 MiB of V. A wide
+    L is the DMA-efficiency lever: the V block's contiguous chunk is
+    L * itemsize bytes (the tensor's minor dim is strided across the
+    tile), and sub-2KB chunks measured DMA-bound."""
+    for L in (1024, 512, 256, 128):
+        if B1 * B2 * L * itemsize <= (16 << 20) and M >= L:
+            return L
+    return 0
+
+
+def triple_roots_eligible(shape, dtype, r: int) -> bool:
+    """Order-4, roots on axes {1,2,3}, mid axes tile-friendly, long minor
+    axis. The caller must separately confirm the chain priority actually
+    roots at axes {1,2,3} (i.e. axis 0 is the smallest mode)."""
+    if len(shape) != 4 or dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if r > 128:
+        return False
+    P, B1, B2, M = shape
+    if B1 % 8 or B2 % 8 or B1 < 8 or B2 < 8 or B1 > 512 or B2 > 512:
+        return False
+    if M < 1024 or P > 64:
+        return False
+    return _triple_tile(B1, B2, M) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def triple_roots(V, W1, W2, W3, interpret: bool = False):
+    """(O1, O2, O3) rank-major chain roots contracting axes 1, 2, 3 of an
+    order-4 tensor in one HBM pass:
+
+      O1[r, p, b2, m] = sum_{b1} V[p, b1, b2, m] W1[b1, r]
+      O2[r, p, b1, m] = sum_{b2} V[p, b1, b2, m] W2[b2, r]
+      O3[r, p, b1, b2] = sum_{m} V[p, b1, b2, m] W3[m, r]
+    """
+    P, B1, B2, M = V.shape
+    R = W1.shape[1]
+    L = _triple_tile(B1, B2, M) or M
+    nl = pl.cdiv(M, L)
+    Mp = nl * L
+    out_dtype = jnp.float32 if V.dtype == jnp.bfloat16 else V.dtype
+    wt1 = W1.T.astype(V.dtype)
+    wt2 = W2.T.astype(V.dtype)
+    w3 = W3.astype(V.dtype)
+    if Mp != M:
+        w3 = jnp.pad(w3, ((0, Mp - M), (0, 0)))
+    # lane-validity row per tile (masks the ragged last tile's OOB
+    # lanes); shaped (nl, 1, L) so the block's trailing two dims satisfy
+    # Mosaic's (8, 128)-divisible-or-full rule
+    mask = (jnp.arange(Mp, dtype=jnp.int32) < M).astype(V.dtype)
+    mask = mask.reshape(nl, 1, L)
+
+    def vmem(spec_shape, index_map):
+        if _VMEM is not None and not interpret:
+            return pl.BlockSpec(spec_shape, index_map, memory_space=_VMEM)
+        return pl.BlockSpec(spec_shape, index_map)
+
+    compiler_params = None
+    if pltpu is not None and not interpret:
+        # the v tile (8 MiB) + three output blocks + pipelining doubles
+        # exceed Mosaic's default 16 MiB scoped-vmem budget; v5e has
+        # 128 MiB of VMEM, so raise the cap for this kernel
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    o1, o2, o3 = pl.pallas_call(
+        _triple_kernel,
+        compiler_params=compiler_params,
+        grid=(P, nl),
+        in_specs=[
+            vmem((R, B1), lambda p, l: (0, 0)),
+            vmem((R, B2), lambda p, l: (0, 0)),
+            vmem((L, R), lambda p, l: (l, 0)),
+            vmem((1, B1, B2, L), lambda p, l: (p, 0, 0, l)),
+            vmem((1, 1, L), lambda p, l: (l, 0, 0)),
+        ],
+        out_specs=[
+            vmem((R, 1, B2, L), lambda p, l: (0, p, 0, l)),
+            vmem((R, 1, B1, L), lambda p, l: (0, p, 0, l)),
+            vmem((R, 1, B1, B2), lambda p, l: (0, p, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, P, B2, Mp), out_dtype),
+            jax.ShapeDtypeStruct((R, P, B1, Mp), out_dtype),
+            jax.ShapeDtypeStruct((R, P, B1, B2), out_dtype),
+        ],
+        interpret=interpret,
+    )(wt1, wt2, w3, V, mask)
+    if Mp != M:
+        o1 = o1[..., :M]
+        o2 = o2[..., :M]
+    return o1, o2, o3

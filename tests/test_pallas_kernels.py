@@ -148,3 +148,49 @@ def test_mttkrp3_mode_specialized_bf16(rng, mode):
     want = contract.mttkrp(V, Ws, mode, use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-4)
+
+
+def test_triple_roots_oracle(rng):
+    """Triple chain-root kernel vs einsum oracles (ragged lane tile)."""
+    P, B1, B2, M, R = 3, 16, 24, 1200, 5
+    V = rng.standard_normal((P, B1, B2, M)).astype(np.float32)
+    W1 = rng.standard_normal((B1, R)).astype(np.float32)
+    W2 = rng.standard_normal((B2, R)).astype(np.float32)
+    W3 = rng.standard_normal((M, R)).astype(np.float32)
+    o1, o2, o3 = mttkrp_pallas.triple_roots(
+        jnp.asarray(V), jnp.asarray(W1), jnp.asarray(W2), jnp.asarray(W3),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(o1),
+                               np.einsum("pabm,ar->rpbm", V, W1),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o2),
+                               np.einsum("pabm,br->rpam", V, W2),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o3),
+                               np.einsum("pabm,mr->rpab", V, W3),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_build_pp_caches_triple_matches_plain(rng):
+    """build_pp_caches with the fused triple-root pass == the plain
+    chain build, on an eligible coil-class shape."""
+    from pairwise_perturbation_tpu import config as ppcfg
+    shape, R = (3, 16, 24, 1200), 4
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    Ws = [jnp.asarray(rng.standard_normal((s, R)).astype(np.float32))
+          for s in shape]
+    assert mttkrp_pallas.triple_roots_eligible(shape, V.dtype, R)
+    s_plain, p_plain = contract.build_pp_caches(V, list(Ws))
+    with ppcfg.override(use_pallas_triple=True):
+        s_tri, p_tri = contract.build_pp_caches.__wrapped__(
+            V, list(Ws), interpret=True) \
+            if hasattr(contract.build_pp_caches, "__wrapped__") \
+            else contract.build_pp_caches(V, list(Ws), interpret=True)
+    for i in s_plain:
+        np.testing.assert_allclose(np.asarray(s_tri[i]),
+                                   np.asarray(s_plain[i]),
+                                   rtol=3e-5, atol=1e-4)
+    for k in p_plain:
+        np.testing.assert_allclose(np.asarray(p_tri[k]),
+                                   np.asarray(p_plain[k]),
+                                   rtol=3e-5, atol=1e-4)
