@@ -100,3 +100,31 @@ def test_mid_contract_parity():
         jnp.asarray(V), (0, 1, 2, 3), False, jnp.asarray(W), 1)[0])
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out / scale, ref / scale, atol=3e-5)
+
+
+def test_triple_roots_parity_tpu():
+    """Triple chain-root kernel vs XLA on the real chip (coil-class
+    shape, ragged lane tile)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas as mp
+
+    key = jax.random.PRNGKey(3)
+    kv, k1, k2, k3 = jax.random.split(key, 4)
+    P, B1, B2, M, R = 3, 64, 64, 1500, 6
+    V = jax.random.uniform(kv, (P, B1, B2, M), dtype=jnp.float32)
+    W1 = jax.random.uniform(k1, (B1, R), dtype=jnp.float32)
+    W2 = jax.random.uniform(k2, (B2, R), dtype=jnp.float32)
+    W3 = jax.random.uniform(k3, (M, R), dtype=jnp.float32)
+    assert mp.triple_roots_eligible((P, B1, B2, M), jnp.float32, R)
+    o1, o2, o3 = mp.triple_roots(V, W1, W2, W3)
+    e1 = jnp.einsum("pabm,ar->rpbm", V, W1,
+                    precision=jax.lax.Precision.HIGHEST)
+    e2 = jnp.einsum("pabm,br->rpam", V, W2,
+                    precision=jax.lax.Precision.HIGHEST)
+    e3 = jnp.einsum("pabm,mr->rpab", V, W3,
+                    precision=jax.lax.Precision.HIGHEST)
+    for got, want in ((o1, e1), (o2, e2), (o3, e3)):
+        err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
+        assert err < 5e-5, err
