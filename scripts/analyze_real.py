@@ -204,6 +204,28 @@ def main():
             md.append(f"| {r['label']} | {r['target']:.4e} | {dts} | "
                       f"{pps} | {sp} | {r['dt_last_row']:.4e} | "
                       f"{r['pp_last_row']:.4e} |")
+    md += [
+        "",
+        "### Findings (round 4)",
+        "",
+        "CP: PP beats DT on all eight configs (1.5-3.1x) under the "
+        "sustained rule — the round-3 instability artifacts are gone "
+        "(solver guards + refined f32 solves), so every trajectory "
+        "plateaus monotonically and the comparison is clean.",
+        "",
+        "Tucker: the coil comparison is an honest PP LOSS (0.57x) with "
+        "a structural cause: on coil the Tucker sweep cost is "
+        "EXTRACTION-dominated, not contraction-dominated — the "
+        "(7200, 70) factor update's subspace extraction costs ~5.9 ms "
+        "of the 5.9-10.4 ms sweep, and PP only accelerates the TTMc "
+        "part (PP sweep 5.8 ms vs DT-auto 5.9 ms: nothing left to "
+        "save). The time-lapse Tucker rows are degenerate for the "
+        "opposite reason: at ranks (10,100,100,5) the HOSVD init is "
+        "already below the CPU baseline's final fitness, so DT "
+        "converges in ~1 sweep and a time ratio is meaningless. Both "
+        "are properties of the reference's own benchmark ranks, not "
+        "implementation gaps.",
+    ]
     md.append("")
     with open(os.path.join(RESULTS, "REAL_DATA.md"), "w") as f:
         f.write("\n".join(md))
