@@ -312,6 +312,16 @@ def _cmd_test_als_sparse(args, V, perm, Vnorm) -> int:
         if density > 0.25:
             print("  WARNING: tensor is dense-ish; the dense engine "
                   "(-issparse 0) will be faster")
+    mesh = None
+    if args.mesh:
+        # nnz-sharded COO over a 1D mesh: per-shard partial MTTKRPs /
+        # cache builds + one psum (parallel/mesh.shard_coo) — the
+        # distributed sparse CTF tensor analogue (test_ALS.cxx:126-131)
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(tuple(int(x) for x in args.mesh.split("x")))
+        st = pmesh.shard_coo(st, mesh)
+        if not args.quiet:
+            print(f"  sharded COO: nnz split over {args.mesh} devices")
     Ws = cp.init_factors(st.shape, args.rank,
                          key=jax.random.PRNGKey(args.seed),
                          dtype=_np_dtype(args.dtype))
@@ -321,9 +331,9 @@ def _cmd_test_als_sparse(args, V, perm, Vnorm) -> int:
                       resprint=args.resprint)
     plot = PlotFile(args.filename, PlotFile.CP_HEADER, echo=not args.quiet)
     if args.pp == 0:
-        res = sparse_cp.als_cp_sparse(st, Ws, cfg, plot)
+        res = sparse_cp.als_cp_sparse(st, Ws, cfg, plot, mesh=mesh)
     else:
-        res = sparse_cp.als_cp_pp_sparse(st, Ws, cfg, plot)
+        res = sparse_cp.als_cp_pp_sparse(st, Ws, cfg, plot, mesh=mesh)
     plot.close()
     if args.checkpoint:
         from pairwise_perturbation_tpu.utils import io as ppio
@@ -554,19 +564,24 @@ def main(argv=None) -> int:
                   "software-emulated f64 — expect an order of magnitude "
                   "slower than float32; use float32/bfloat16 for "
                   "performance runs.")
+    sparse_mesh_ok = (not args.mesh
+                      or (cmd == "test_als" and args.model == "CP"
+                          and "x" not in args.mesh))
     if args.issparse and not (
-            (cmd == "test_als" and args.model in ("CP", "Tucker")
-             and args.pp in (0, 1) and not args.mesh)
-            or (cmd == "run" and not args.mesh)):
+            ((cmd == "test_als" and args.model in ("CP", "Tucker")
+              and args.pp in (0, 1))
+             or cmd == "run") and sparse_mesh_ok):
         # Sparse scope: legacy CP + Tucker engines (pp 0 plain ALS /
-        # HOOI, pp 1 PP) and ALL second-gen run optimizers, single
-        # device — matching the reference's -issparse threading
-        # (test_ALS.cxx:126-131, 229; run.cxx:137-140). Anything else
-        # fails loudly.
+        # HOOI, pp 1 PP) and ALL second-gen run optimizers — matching
+        # the reference's -issparse threading (test_ALS.cxx:126-131,
+        # 229; run.cxx:137-140). -mesh with sparse: test_als CP over a
+        # 1D (nnz-sharded) mesh. Anything else fails loudly.
         raise SystemExit(
             "-issparse 1 is supported for test_als -model {CP,Tucker} "
-            "-pp {0,1} and for run (all optimizers), without -mesh "
-            "(COO engine, ops/sparse.py). Re-run without -issparse.")
+            "-pp {0,1} and for run (all optimizers); -mesh with sparse "
+            "only for test_als CP on a 1D mesh (nnz-sharded COO, "
+            "parallel/mesh.shard_coo). Re-run without -issparse or "
+            "adjust -mesh.")
     # Multi-host SPMD bring-up: no-op single-host, loud on a failed
     # coordinator handshake (parallel/mesh.py:distributed_init).
     from pairwise_perturbation_tpu.parallel import mesh as pmesh

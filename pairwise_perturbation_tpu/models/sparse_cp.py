@@ -28,15 +28,22 @@ from pairwise_perturbation_tpu.utils import tracing
 from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
 
 
-@partial(jax.jit, static_argnames=("solver", "normalize"))
+@partial(jax.jit, static_argnames=("solver", "normalize", "mesh"))
 def sparse_simple_sweep(st, Ws, lam, *, solver: str = "svd",
-                        normalize: bool = True):
+                        normalize: bool = True, mesh=None):
     """One plain ALS sweep with exact sparse MTTKRPs (alsCP body,
-    als_CP.cxx:66-99, V sparse)."""
+    als_CP.cxx:66-99, V sparse). With ``mesh`` (a 1D jax Mesh, static),
+    the COO arrays are nnz-sharded and every MTTKRP runs as per-shard
+    partials + one psum (parallel/mesh.sharded_sparse_mttkrp) — the
+    distributed sparse CTF tensor analogue."""
     order = st.ndim
     Ws = list(Ws)
     for i in range(order):
-        M = sp.mttkrp(st, Ws, i)
+        if mesh is not None:
+            from pairwise_perturbation_tpu.parallel import mesh as pmesh
+            M = pmesh.sharded_sparse_mttkrp(st, Ws, i, mesh)
+        else:
+            M = sp.mttkrp(st, Ws, i)
         S = contract.hadamard_gram(Ws, skip_mode=i, regul=lam)
         Ws[i] = solve.solve(M, S, method=solver)
     if normalize:
@@ -44,25 +51,35 @@ def sparse_simple_sweep(st, Ws, lam, *, solver: str = "svd",
     return Ws
 
 
-@jax.jit
-def sparse_pp_build_caches(st, Ws):
+@partial(jax.jit, static_argnames=("mesh",))
+def sparse_pp_build_caches(st, Ws, *, mesh=None):
+    if mesh is not None:
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        return pmesh.sharded_sparse_pp_caches(st, list(Ws), mesh)
     return sp.build_pp_caches(st, list(Ws))
 
 
-@jax.jit
-def sparse_diagnostics(V_norm_sq, st, Ws, lam=None):
+@partial(jax.jit, static_argnames=("mesh",))
+def sparse_diagnostics(V_norm_sq, st, Ws, lam=None, *, mesh=None):
     """(exact gradnorm, exact diffV) against the sparse tensor."""
+    if mesh is not None:
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        gn = pmesh.sharded_sparse_gradnorm(st, list(Ws), mesh, regul=lam)
+        M_last = pmesh.sharded_sparse_mttkrp(st, list(Ws), st.ndim - 1,
+                                             mesh)
+        dv = contract.cp_residual_norm(V_norm_sq, M_last, list(Ws))
+        return gn, dv
     gn = sp.cp_gradnorm(st, list(Ws), regul=lam)
     dv = sp.cp_residual_norm(V_norm_sq, st, list(Ws))
     return gn, dv
 
 
 def _diag_and_log(V_norm_sq, st, Ws, lam, clock, plot, it, tol, pp_flag,
-                  history):
+                  history, mesh=None):
     cpm._sync_counted(clock, Ws)
     with clock.exclude():
         gn, diffV = tracing.timed("sparse.diagnostics", sparse_diagnostics,
-                                  V_norm_sq, st, Ws, lam)
+                                  V_norm_sq, st, Ws, lam, mesh=mesh)
         gn, diffV = float(gn), float(diffV)
     dtime = clock.dtime()
     if plot is not None:
@@ -74,14 +91,17 @@ def _diag_and_log(V_norm_sq, st, Ws, lam, clock, plot, it, tol, pp_flag,
 
 def als_cp_sparse(st, Ws, cfg: cpm.CPConfig,
                   plot: Optional[PlotFile] = None,
-                  clock: Optional[SweepClock] = None) -> cpm.CPResult:
-    """Plain sparse ALS (alsCP with a sparse V)."""
+                  clock: Optional[SweepClock] = None,
+                  mesh=None) -> cpm.CPResult:
+    """Plain sparse ALS (alsCP with a sparse V). ``mesh``: nnz-sharded
+    COO over a 1D device mesh (see sparse_simple_sweep)."""
     Ws = [jnp.asarray(W) for W in Ws]
     V_norm_sq = sp.norm_sq(st)
     clock = clock or SweepClock()
     lam = jnp.asarray(cfg.lam, dtype=Ws[0].dtype)
     with clock.exclude():
-        cpm.warm_compile(sparse_simple_sweep, st, Ws, lam, solver=cfg.solver)
+        cpm.warm_compile(sparse_simple_sweep, st, Ws, lam,
+                         solver=cfg.solver, mesh=mesh)
         cpm.calibrate_rtt(clock, Ws[0])
     history: list = []
     gn, diffV = float("inf"), float("inf")
@@ -90,21 +110,23 @@ def als_cp_sparse(st, Ws, cfg: cpm.CPConfig,
     while it <= cfg.maxiter:
         if it % cfg.resprint == 0 or it == cfg.maxiter:
             gn, diffV, dtime = _diag_and_log(
-                V_norm_sq, st, Ws, lam, clock, plot, it, cfg.tol, 0, history)
+                V_norm_sq, st, Ws, lam, clock, plot, it, cfg.tol, 0,
+                history, mesh)
             if gn < cfg.tol:
                 converged = True
                 break
             if dtime > cfg.timelimit:
                 break
         Ws = tracing.timed("sparse.sweep", sparse_simple_sweep, st, Ws, lam,
-                           solver=cfg.solver)
+                           solver=cfg.solver, mesh=mesh)
         it += 1
     return cpm.CPResult(Ws, gn, diffV, it, converged, history)
 
 
 def als_cp_pp_sparse(st, Ws, cfg: cpm.CPConfig,
                      plot: Optional[PlotFile] = None,
-                     clock: Optional[SweepClock] = None) -> cpm.CPResult:
+                     clock: Optional[SweepClock] = None,
+                     mesh=None) -> cpm.CPResult:
     """Sparse PP: exact phase = plain sparse sweeps with dW tracking (exit
     to PP when all modes quiet); PP phase = the dense engine's pp_sweep on
     sparse-built caches, with the reference's restart tolerance and
@@ -114,8 +136,9 @@ def als_cp_pp_sparse(st, Ws, cfg: cpm.CPConfig,
     clock = clock or SweepClock()
     lam = jnp.asarray(cfg.lam, dtype=Ws[0].dtype)
     with clock.exclude():
-        cpm.warm_compile(sparse_simple_sweep, st, Ws, lam, solver=cfg.solver)
-        cpm.warm_compile(sparse_pp_build_caches, st, Ws)
+        cpm.warm_compile(sparse_simple_sweep, st, Ws, lam,
+                         solver=cfg.solver, mesh=mesh)
+        cpm.warm_compile(sparse_pp_build_caches, st, Ws, mesh=mesh)
         cpm.calibrate_rtt(clock, Ws[0])
     history: list = []
     gn, diffV = float("inf"), float("inf")
@@ -128,12 +151,12 @@ def als_cp_pp_sparse(st, Ws, cfg: cpm.CPConfig,
             if it % cfg.resprint == 0 or it == cfg.maxiter:
                 gn, diffV, dtime = _diag_and_log(
                     V_norm_sq, st, Ws, lam, clock, plot, it, cfg.tol, 0,
-                    history)
+                    history, mesh)
                 if gn < cfg.tol or dtime > cfg.timelimit:
                     return cpm.CPResult(Ws, gn, diffV, it, gn < cfg.tol,
                                         history)
             Ws = tracing.timed("sparse.sweep", sparse_simple_sweep, st, Ws,
-                               lam, solver=cfg.solver)
+                               lam, solver=cfg.solver, mesh=mesh)
             dWs = [W - Wp for W, Wp in zip(Ws, W_prev)]
             W_prev = [W for W in Ws]
             ratios = cpm._host_pull(clock, cpm.factor_norm_ratios(Ws, dWs))
@@ -145,7 +168,8 @@ def als_cp_pp_sparse(st, Ws, cfg: cpm.CPConfig,
             break
         # ---- PP phase (alsCP_PP_sub) ----
         single, pair = tracing.timed("sparse.pp_cache_build",
-                                     sparse_pp_build_caches, st, Ws)
+                                     sparse_pp_build_caches, st, Ws,
+                                     mesh=mesh)
         W_init = [W for W in Ws]
         dWs = [jnp.zeros_like(W) for W in Ws]
         pp_sweeps = 0
@@ -153,7 +177,7 @@ def als_cp_pp_sparse(st, Ws, cfg: cpm.CPConfig,
             if it % cfg.resprint == 0 or it == cfg.maxiter:
                 gn, diffV, dtime = _diag_and_log(
                     V_norm_sq, st, Ws, lam, clock, plot, it, cfg.tol, 1,
-                    history)
+                    history, mesh)
                 if gn < cfg.tol or dtime > cfg.timelimit:
                     return cpm.CPResult(Ws, gn, diffV, it, gn < cfg.tol,
                                         history)

@@ -218,3 +218,97 @@ def constrained_pp_caches(V, Ws: Sequence, layout: ShardedLayout):
                               layout.mode_axis.get(j)))
         for i in range(order) for j in range(i + 1, order))
     return _constrained_build(V, list(Ws), single_specs, pair_specs)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded COO tensors (sparse V distributed by nonzeros)
+# ---------------------------------------------------------------------------
+#
+# The reference's sparse CTF tensors are distributed over the MPI world
+# like the dense ones (test_ALS.cxx:126-131, 229). TPU-native analogue:
+# shard the COO arrays by NONZERO index (the only long axis), compute
+# per-shard partial MTTKRPs / cache contributions locally, and reduce
+# with one psum over the mesh — scatter-adds into replicated dense
+# outputs commute with the nnz split, so partials are exact. Dense
+# outputs (factor-sized matrices, pair caches of sparse-natural tensors)
+# are small and stay replicated, mirroring the dense engine's
+# replicated-factor layout.
+
+
+def shard_coo(st, mesh: Mesh, axis: str = None):
+    """Distribute a SparseTensor's nonzeros over the mesh (zero-padded to
+    a multiple of the device count; padding entries carry value 0 at
+    index 0, contributing nothing to any reduction)."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
+    axis = axis or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    total = math.prod(mesh.shape.values())
+    if total != n:
+        raise ValueError("shard_coo expects a 1D mesh (nnz axis only); "
+                         f"got mesh shape {dict(mesh.shape)}")
+    nnz = st.nnz
+    pad = (-nnz) % n
+    idx = jnp.pad(st.indices, ((0, pad), (0, 0)))
+    val = jnp.pad(st.values, (0, pad))
+    idx = jax.device_put(idx, NamedSharding(mesh, P(axis, None)))
+    val = jax.device_put(val, NamedSharding(mesh, P(axis)))
+    return sp.SparseTensor(idx, val, st.shape)
+
+
+def _coo_axis(st, mesh: Mesh) -> str:
+    return mesh.axis_names[0]
+
+
+def sharded_sparse_mttkrp(st, Ws, mode: int, mesh: Mesh):
+    """Exact sparse MTTKRP with per-shard partials + one psum."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
+    axis = _coo_axis(st, mesh)
+
+    def local(idx, val, *Wl):
+        stl = sp.SparseTensor(idx, val, st.shape)
+        return jax.lax.psum(sp.mttkrp(stl, list(Wl), mode), axis)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)) + tuple(P(None, None)
+                                                  for _ in Ws),
+        out_specs=P(None, None))
+    return f(st.indices, st.values, *Ws)
+
+
+def sharded_sparse_pp_caches(st, Ws, mesh: Mesh):
+    """PP cache build over the nnz-sharded COO: each shard runs the
+    prefix/suffix chain build on its nonzeros (ops/sparse.build_pp_caches)
+    and the dense outputs reduce with one psum — Build_mttkrp_map on a
+    distributed sparse CTF tensor (als_CP.cxx:352-409)."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
+    axis = _coo_axis(st, mesh)
+    order = st.ndim
+
+    def local(idx, val, *Wl):
+        stl = sp.SparseTensor(idx, val, st.shape)
+        single, pair = sp.build_pp_caches(stl, list(Wl))
+        return jax.lax.psum((single, pair), axis)
+
+    pair_keys = [(i, j) for i in range(order) for j in range(i + 1, order)]
+    out_specs = ({i: P(None, None) for i in range(order)},
+                 {k: P(None, None, None) for k in pair_keys})
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)) + tuple(P(None, None)
+                                                  for _ in Ws),
+        out_specs=out_specs)
+    return f(st.indices, st.values, *Ws)
+
+
+def sharded_sparse_gradnorm(st, Ws, mesh: Mesh, regul=None):
+    """Exact CP gradnorm over the sharded nonzeros (per-mode partial
+    MTTKRPs psum-reduced before the gradient assembly)."""
+    from pairwise_perturbation_tpu.ops import contract
+    total = jnp.asarray(0.0, Ws[0].dtype)
+    for i in range(st.ndim):
+        M = sharded_sparse_mttkrp(st, Ws, i, mesh)
+        S = contract.hadamard_gram(list(Ws), skip_mode=i, regul=regul)
+        g = contract.gradsubprob(M, S, Ws[i])
+        total = total + jnp.vdot(g, g)
+    return jnp.sqrt(total)
