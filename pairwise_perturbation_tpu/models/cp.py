@@ -563,7 +563,9 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                         float(np.max(np.abs(ratios))) \
                         > max(5.0 * cfg.pp_res_tol, 0.5):
                     # discard the blown sweep and restart from the last
-                    # healthy iterate
+                    # healthy iterate; the discarded sweep must not
+                    # consume an iteration of the maxiter budget
+                    state["iter"] = it - 1
                     return Ws_pre, dWs_pre, "restart"
                 gn_floor = min(gn_floor, gn_est)
             else:
@@ -778,7 +780,7 @@ def dt_phase_device(V, Ws, lam, tol_init, gn_tol, it_budget, layouts=None,
 
 @partial(jax.jit, static_argnames=("solver", "max_sweeps", "resprint"))
 def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
-                    it0=0, layouts=None, log_mark=-1, *,
+                    it0=0, layouts=None, log_mark=-1, gn_guard=10.0, *,
                     solver: str = "svd", max_sweeps: int = 15,
                     resprint: int = 0):
     """Build PP caches and run PP sweeps on device until the restart
@@ -800,7 +802,7 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
     W_init = tuple(Ws)
 
     def body(carry):
-        k, Ws, dWs, gn, broke, hist, gn_floor = carry
+        k, Ws, dWs, gn, dv_prev, broke, hist, gn_floor = carry
         Ws2, dWs2, grads = pp_sweep(single, pair, list(Ws), list(W_init),
                                     list(dWs), lam, ratio_step, solver=solver)
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
@@ -808,13 +810,15 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
         gn2, diffV = _pp_sweep_norm_stats(V_norm_sq, single, pair,
                                           list(Ws2), list(dWs2), grads)
         # gn-growth / ratio-explosion guards: revert an uphill or blown
-        # sweep and exit to DT (cf. pp_fused_chunk)
-        blown = (gn2 > 10.0 * gn_floor) \
-            | (jnp.max(jnp.abs(ratios))
-               > jnp.maximum(5.0 * tol_init, 0.5))
+        # sweep and exit to DT (cf. pp_fused_chunk; gated on
+        # CPConfig.gn_guard > 0, like the other PP paths)
+        blown = (gn_guard > 0) & ((gn2 > gn_guard * gn_floor)
+                                  | (jnp.max(jnp.abs(ratios))
+                                     > jnp.maximum(5.0 * tol_init, 0.5)))
         Ws2 = tuple(jnp.where(blown, a, b) for a, b in zip(Ws, Ws2))
         dWs2 = tuple(jnp.where(blown, a, b) for a, b in zip(dWs, dWs2))
         gn2 = jnp.where(blown, gn, gn2)
+        diffV = jnp.where(blown, dv_prev, diffV)
         broke2 = broke2 | blown
         if resprint:
             logged = (jnp.mod(it0 + k, resprint) == 0) \
@@ -825,19 +829,20 @@ def pp_phase_device(V, Ws, lam, ratio_step, tol_init, gn_tol, it_budget,
         else:
             gn_l, diffV_l = gn2, diffV
         hist = hist.at[k].set(jnp.stack([gn_l, diffV_l]))
-        return (k + 1, tuple(Ws2), tuple(dWs2), gn2, broke2, hist,
+        return (k + 1, tuple(Ws2), tuple(dWs2), gn2, diffV, broke2, hist,
                 jnp.minimum(gn_floor, gn2))
 
     def cond(carry):
-        k, _, _, gn, broke, _, _ = carry
+        k, _, _, gn, _, broke, _, _ = carry
         return (k < it_budget) & jnp.logical_not(broke) & (gn >= gn_tol)
 
     hist0 = jnp.zeros((max_sweeps, 2), Ws[0].dtype)
     zero_dWs = tuple(jnp.zeros_like(W) for W in Ws)
     inf = jnp.asarray(jnp.inf, Ws[0].dtype)
-    init = (jnp.asarray(0), tuple(Ws), zero_dWs, inf, jnp.asarray(False),
-            hist0, inf)
-    k, Ws_f, dWs_f, gn, broke, hist, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.asarray(0), tuple(Ws), zero_dWs, inf, inf,
+            jnp.asarray(False), hist0, inf)
+    (k, Ws_f, dWs_f, gn, _, broke, hist,
+     _) = jax.lax.while_loop(cond, body, init)
     return k, list(Ws_f), list(dWs_f), gn, hist
 
 
@@ -884,9 +889,10 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
                             solver=cfg.solver,
                             max_sweeps=max_dt, resprint=cfg.resprint,
                             root_split=cfg.tree_split)
+    gn_guard = jnp.asarray(cfg.gn_guard, dtype=Ws[0].dtype)
     _warm2 = pp_phase_device(V, Ws, lam, cfg.ratio_step, tol_init, gn_tol,
                              jnp.asarray(0), jnp.asarray(0), layouts, mark,
-                             solver=cfg.solver,
+                             gn_guard, solver=cfg.solver,
                              max_sweeps=cfg.pp_cache_sweeps,
                              resprint=cfg.resprint)
     _sync((_warm[3], _warm2[3]))
@@ -926,7 +932,7 @@ def als_cp_pp_device(V, Ws, cfg: CPConfig,
         budget = jnp.asarray(min(cfg.pp_cache_sweeps, cfg.maxiter + 1 - it))
         n, Ws, dWs, gn_d, hist = pp_phase_device(
             V, Ws, lam, cfg.ratio_step, tol_init, gn_tol, budget,
-            jnp.asarray(it), layouts, mark,
+            jnp.asarray(it), layouts, mark, gn_guard,
             solver=cfg.solver, max_sweeps=cfg.pp_cache_sweeps,
             resprint=cfg.resprint)
         n = int(_host_pull(clock, n))

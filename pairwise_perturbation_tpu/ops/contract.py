@@ -355,7 +355,8 @@ def _contract_mode_kr_rm(T, rem_modes: Tuple[int, ...], factor, mode: int,
 
 
 def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
-                    use_pallas: bool = None, interpret: bool = None):
+                    use_pallas: bool = None, interpret: bool = None,
+                    use_pallas_triple: bool = None):
     """Build all PP caches: pair tensors T_{ij}[s_i, s_j, R] for i<j and
     single matrices M_i[s_i, R].
 
@@ -385,10 +386,12 @@ def build_pp_caches(V, factors: Sequence, precision=None, layouts=None,
     # mode, EVERY chain's first contraction is one of axes {1, 2, 3},
     # and the three roots can be computed in ONE pass over V instead of
     # three (kernels/mttkrp_pallas.triple_roots) — the build's dominant
-    # HBM cost. Gated on config.use_pallas_triple.
+    # HBM cost. Gated on config.use_pallas_triple (its OWN gate —
+    # requesting the first_contraction kernel via use_pallas must not
+    # silently switch which kernel serves the chain roots).
     import pairwise_perturbation_tpu.config as _cfg
-    _use_triple = (_cfg.get().use_pallas_triple if use_pallas is None
-                   else use_pallas)
+    _use_triple = (_cfg.get().use_pallas_triple if use_pallas_triple is None
+                   else use_pallas_triple)
     if (_use_triple and order == 4 and priority[-1] == 0
             and layouts is None):
         from pairwise_perturbation_tpu.ops.kernels import mttkrp_pallas

