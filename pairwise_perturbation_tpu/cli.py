@@ -265,6 +265,7 @@ def cmd_test_als(args) -> int:
                                   timelimit=args.timelimit,
                                   resprint=args.resprint,
                                   subspace_iters=args.tucker_subspace,
+                                  pp_quiet_frac=args.tucker_pp_skip,
                                   mesh_layout=layout)
         plot = PlotFile(args.filename, PlotFile.TUCKER_HEADER,
                         echo=not args.quiet)

