@@ -21,7 +21,7 @@ def test_dt_phase_device_matches_host(rng):
     lam = jnp.asarray(0.0)
     tol_init = jnp.asarray(0.05)
     # device phase
-    n, Ws_dev, dWs_dev, gn, quiet, hist = cp.dt_phase_device(
+    n, Ws_dev, dWs_dev, gn, quiet, hist, *_snap = cp.dt_phase_device(
         V, [jnp.array(w) for w in W0], lam, tol_init, jnp.asarray(0.0),
         jnp.asarray(200), solver="svd", max_sweeps=200)
     n = int(n)
@@ -50,7 +50,7 @@ def test_pp_phase_device_runs_and_caps(rng):
     Ws = [jnp.array(w) for w in W0]
     for _ in range(8):
         Ws, _ = cp.dt_sweep(V, Ws, lam, solver="svd")
-    n, Ws2, dWs, gn, hist = cp.pp_phase_device(
+    n, Ws2, dWs, gn, hist, *_snap = cp.pp_phase_device(
         V, Ws, lam, jnp.asarray(1.0), jnp.asarray(0.5), jnp.asarray(0.0),
         jnp.asarray(15), solver="svd", max_sweeps=15)
     n = int(n)
@@ -111,7 +111,7 @@ def test_device_phases_mixed_bf16(rng):
     V16 = jnp.asarray(V, dtype=jnp.bfloat16)
     Ws = cp.init_factors(V.shape, 3, dtype=jnp.float32)
     lam = jnp.asarray(0.0, dtype=jnp.float32)
-    k, Ws2, dWs, gn, quiet, hist = cp.dt_phase_device(
+    k, Ws2, dWs, gn, quiet, hist, *_snap = cp.dt_phase_device(
         V16, Ws, lam, jnp.asarray(1e-5, jnp.float32),
         jnp.asarray(0.0, jnp.float32), jnp.asarray(20), None,
         solver="svd", max_sweeps=21)
