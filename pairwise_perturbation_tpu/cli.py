@@ -367,6 +367,19 @@ def _cmd_test_als_sparse_tucker(args, V, perm, Vnorm) -> int:
         if density > 0.25:
             print("  WARNING: tensor is dense-ish; the dense engine "
                   "(-issparse 0) will be faster")
+    mesh = None
+    init_st = None
+    if args.mesh:
+        # nnz-sharded COO over a 1D mesh: per-shard partial TTMcs /
+        # cache builds + one psum (parallel/mesh.sharded_sparse_ttmc) —
+        # the distributed sparse CTF Tucker analogue
+        # (test_ALS.cxx:229, 364-396)
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(tuple(int(x) for x in args.mesh.split("x")))
+        init_st = st  # HOSVD init runs on the unsharded COO (setup)
+        st = pmesh.shard_coo(st, mesh)
+        if not args.quiet:
+            print(f"  sharded COO: nnz split over {args.mesh} devices")
     ranks = tlayout.permute_tuple(_tucker_ranks(args, V), perm)
     cfg = tucker.TuckerConfig(tol=args.tol * Vnorm,
                               pp_res_tol=args.pp_res_tol,
@@ -376,9 +389,12 @@ def _cmd_test_als_sparse_tucker(args, V, perm, Vnorm) -> int:
     plot = PlotFile(args.filename, PlotFile.TUCKER_HEADER,
                     echo=not args.quiet)
     if args.pp == 0:
-        res = sparse_tucker.als_tucker_sparse(st, ranks, cfg, plot)
+        res = sparse_tucker.als_tucker_sparse(st, ranks, cfg, plot,
+                                              mesh=mesh, init_st=init_st)
     else:
-        res = sparse_tucker.als_tucker_pp_sparse(st, ranks, cfg, plot)
+        res = sparse_tucker.als_tucker_pp_sparse(st, ranks, cfg, plot,
+                                                 mesh=mesh,
+                                                 init_st=init_st)
     plot.close()
     if args.checkpoint:
         from pairwise_perturbation_tpu.utils import io as ppio
@@ -566,7 +582,8 @@ def main(argv=None) -> int:
                   "slower than float32; use float32/bfloat16 for "
                   "performance runs.")
     sparse_mesh_ok = (not args.mesh
-                      or (cmd == "test_als" and args.model == "CP"
+                      or (cmd == "test_als"
+                          and args.model in ("CP", "Tucker")
                           and "x" not in args.mesh))
     if args.issparse and not (
             ((cmd == "test_als" and args.model in ("CP", "Tucker")
@@ -575,12 +592,13 @@ def main(argv=None) -> int:
         # Sparse scope: legacy CP + Tucker engines (pp 0 plain ALS /
         # HOOI, pp 1 PP) and ALL second-gen run optimizers — matching
         # the reference's -issparse threading (test_ALS.cxx:126-131,
-        # 229; run.cxx:137-140). -mesh with sparse: test_als CP over a
-        # 1D (nnz-sharded) mesh. Anything else fails loudly.
+        # 229; run.cxx:137-140). -mesh with sparse: test_als CP or
+        # Tucker over a 1D (nnz-sharded) mesh. Anything else fails
+        # loudly.
         raise SystemExit(
             "-issparse 1 is supported for test_als -model {CP,Tucker} "
             "-pp {0,1} and for run (all optimizers); -mesh with sparse "
-            "only for test_als CP on a 1D mesh (nnz-sharded COO, "
+            "only for test_als CP/Tucker on a 1D mesh (nnz-sharded COO, "
             "parallel/mesh.shard_coo). Re-run without -issparse or "
             "adjust -mesh.")
     # Multi-host SPMD bring-up: no-op single-host, loud on a failed

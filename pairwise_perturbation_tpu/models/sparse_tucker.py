@@ -38,16 +38,27 @@ from pairwise_perturbation_tpu.utils import tracing
 from pairwise_perturbation_tpu.utils.metrics import PlotFile, SweepClock
 
 
-@partial(jax.jit, static_argnames=("ranks", "use_sign"))
+def _sp_ttmc(st, Ws, skip_mode, mesh=None):
+    """Sparse-first TTMc, optionally over an nnz-sharded mesh (shard_map
+    partials + one psum, parallel/mesh.sharded_sparse_ttmc)."""
+    if mesh is not None:
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        return pmesh.sharded_sparse_ttmc(st, list(Ws), skip_mode, mesh)
+    return sp.ttmc(st, list(Ws), skip_mode=skip_mode)
+
+
+@partial(jax.jit, static_argnames=("ranks", "use_sign", "mesh"))
 def sparse_hooi_sweep(st, Ws, sign_refs, *, ranks: Tuple[int, ...],
-                      use_sign: bool):
+                      use_sign: bool, mesh=None):
     """One HOOI sweep with sparse-first TTMc per mode (alsTucker body,
-    als_Tucker.cxx:148-163, V sparse). Returns (Ws_new, core)."""
+    als_Tucker.cxx:148-163, V sparse). Returns (Ws_new, core). With
+    ``mesh`` (static 1D jax Mesh) every TTMc runs as nnz-shard partials
+    + psum; the extraction eighs are replicated on-chip (SURVEY §2.6)."""
     order = st.ndim
     Ws = list(Ws)
     Y_end = None
     for i in range(order):
-        Y = sp.ttmc(st, Ws, skip_mode=i)
+        Y = _sp_ttmc(st, Ws, i, mesh)
         if i == order - 1:
             Y_end = Y
         ref = sign_refs[i] if use_sign else None
@@ -57,15 +68,19 @@ def sparse_hooi_sweep(st, Ws, sign_refs, *, ranks: Tuple[int, ...],
     return Ws, core
 
 
-@jax.jit
-def sparse_tucker_build_caches(st, Ws):
+@partial(jax.jit, static_argnames=("mesh",))
+def sparse_tucker_build_caches(st, Ws, *, mesh=None):
+    if mesh is not None:
+        from pairwise_perturbation_tpu.parallel import mesh as pmesh
+        return pmesh.sharded_sparse_ttmc_caches(st, list(Ws), mesh)
     return sp.build_ttmc_caches(st, list(Ws))
 
 
-@jax.jit
-def sparse_tucker_diagnostics(V_norm_sq, st, Ws, core_prev_norm):
+@partial(jax.jit, static_argnames=("mesh",))
+def sparse_tucker_diagnostics(V_norm_sq, st, Ws, core_prev_norm, *,
+                              mesh=None):
     """(core norm, diffnorm, diffV) with an exact sparse TTMc core."""
-    core = sp.ttmc(st, list(Ws), skip_mode=-1)
+    core = _sp_ttmc(st, Ws, -1, mesh)
     cn = jnp.linalg.norm(core.ravel())
     diffnorm = jnp.abs(cn - core_prev_norm)
     diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
@@ -96,12 +111,12 @@ def hosvd_sparse(st, ranks, key=None, oversample: int = 8,
 
 
 def _diag_and_log(V_norm_sq, st, Ws, cn_prev, clock, plot, it, tol,
-                  pp_flag, history):
+                  pp_flag, history, mesh=None):
     cpm._sync_counted(clock, Ws)
     with clock.exclude():
         cn, dn, diffV = tracing.timed(
             "sparse_tucker.diagnostics", sparse_tucker_diagnostics,
-            V_norm_sq, st, Ws, cn_prev)
+            V_norm_sq, st, Ws, cn_prev, mesh=mesh)
         cn, dn, diffV = float(cn), float(dn), float(diffV)
     dtime = clock.dtime()
     if plot is not None:
@@ -114,19 +129,24 @@ def _diag_and_log(V_norm_sq, st, Ws, cn_prev, clock, plot, it, tol,
 def als_tucker_sparse(st, ranks, cfg: tkm.TuckerConfig,
                       plot: Optional[PlotFile] = None,
                       Ws: Optional[List] = None,
-                      clock: Optional[SweepClock] = None) -> tkm.TuckerResult:
-    """Plain sparse HOOI (alsTucker, als_Tucker.cxx:120-176, V sparse)."""
+                      clock: Optional[SweepClock] = None,
+                      mesh=None, init_st=None) -> tkm.TuckerResult:
+    """Plain sparse HOOI (alsTucker, als_Tucker.cxx:120-176, V sparse).
+    ``mesh``: 1D nnz-sharded mesh — every TTMc / diagnostic runs as
+    shard_map partials + psum. ``init_st``: unsharded COO for the HOSVD
+    init (host-level np.unique compaction; setup, not sweep time)."""
     ranks = tuple(int(r) for r in ranks)
     V_norm_sq = sp.norm_sq(st)
     clock = clock or SweepClock()
     with clock.exclude():
         if Ws is None:
             _core, Ws = tracing.timed("sparse_tucker.hosvd", hosvd_sparse,
-                                      st, ranks)
+                                      init_st if init_st is not None
+                                      else st, ranks)
         else:
             Ws = [jnp.asarray(W) for W in Ws]
         cpm.warm_compile(sparse_hooi_sweep, st, Ws, list(Ws), ranks=ranks,
-                         use_sign=True)
+                         use_sign=True, mesh=mesh)
         cpm.calibrate_rtt(clock, Ws[0])
     history: list = []
     cn_prev = jnp.asarray(0.0, Ws[0].dtype)
@@ -138,7 +158,7 @@ def als_tucker_sparse(st, ranks, cfg: tkm.TuckerConfig,
         if it % cfg.resprint == 0 or it == cfg.maxiter:
             cn, dn, diffV, dtime = _diag_and_log(
                 V_norm_sq, st, Ws, cn_prev, clock, plot, it, cfg.tol, 0,
-                history)
+                history, mesh)
             cn_prev = jnp.asarray(cn, Ws[0].dtype)
             if dn < cfg.tol and it > 0:
                 converged = True
@@ -147,18 +167,18 @@ def als_tucker_sparse(st, ranks, cfg: tkm.TuckerConfig,
                 break
         Ws, core = tracing.timed("sparse_tucker.sweep", sparse_hooi_sweep,
                                  st, Ws, list(Ws), ranks=ranks,
-                                 use_sign=True)
+                                 use_sign=True, mesh=mesh)
         it += 1
     if core is None:
-        core = sp.ttmc(st, list(Ws), skip_mode=-1)
+        core = _sp_ttmc(st, list(Ws), -1, mesh)
     return tkm.TuckerResult(Ws, core, dn, diffV, it, converged, history)
 
 
 def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
                          plot: Optional[PlotFile] = None,
                          Ws: Optional[List] = None,
-                         clock: Optional[SweepClock] = None
-                         ) -> tkm.TuckerResult:
+                         clock: Optional[SweepClock] = None,
+                         mesh=None, init_st=None) -> tkm.TuckerResult:
     """Sparse Tucker PP: exact phase = sparse HOOI sweeps with dW
     tracking and sign-fixing (alsTucker_DT_sub role); PP phase = the
     dense engine's tucker_pp_sweep on sparse-built caches, with the
@@ -170,12 +190,13 @@ def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
     with clock.exclude():
         if Ws is None:
             _core, Ws = tracing.timed("sparse_tucker.hosvd", hosvd_sparse,
-                                      st, ranks)
+                                      init_st if init_st is not None
+                                      else st, ranks)
         else:
             Ws = [jnp.asarray(W) for W in Ws]
         cpm.warm_compile(sparse_hooi_sweep, st, Ws, list(Ws), ranks=ranks,
-                         use_sign=True)
-        cpm.warm_compile(sparse_tucker_build_caches, st, Ws)
+                         use_sign=True, mesh=mesh)
+        cpm.warm_compile(sparse_tucker_build_caches, st, Ws, mesh=mesh)
         cpm.calibrate_rtt(clock, Ws[0])
     history: list = []
     cn_prev = jnp.asarray(0.0, Ws[0].dtype)
@@ -191,16 +212,17 @@ def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
             if it % cfg.resprint == 0 or it == cfg.maxiter:
                 cn, dn, diffV, dtime = _diag_and_log(
                     V_norm_sq, st, Ws, cn_prev, clock, plot, it, cfg.tol,
-                    0, history)
+                    0, history, mesh)
                 cn_prev = jnp.asarray(cn, Ws[0].dtype)
                 if (dn < cfg.tol and it > 0) or dtime > cfg.timelimit:
                     if core is None:
-                        core = sp.ttmc(st, list(Ws), skip_mode=-1)
+                        core = _sp_ttmc(st, list(Ws), -1, mesh)
                     return tkm.TuckerResult(Ws, core, dn, diffV, it,
                                             dn < cfg.tol, history)
             Ws, core = tracing.timed("sparse_tucker.sweep",
                                      sparse_hooi_sweep, st, Ws, list(Ws),
-                                     ranks=ranks, use_sign=True)
+                                     ranks=ranks, use_sign=True,
+                                     mesh=mesh)
             dWs = [W - Wp for W, Wp in zip(Ws, W_prev)]
             W_prev = [W for W in Ws]
             ratios = cpm._host_pull(clock, cpm.factor_norm_ratios(Ws, dWs))
@@ -212,7 +234,8 @@ def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
             break
         # ---- PP phase (alsTucker_PP_sub) ----
         single, pair = tracing.timed("sparse_tucker.pp_cache_build",
-                                     sparse_tucker_build_caches, st, Ws)
+                                     sparse_tucker_build_caches, st, Ws,
+                                     mesh=mesh)
         W_init = [W for W in Ws]
         dWs = [jnp.zeros_like(W) for W in Ws]
         pp_sweeps = 0
@@ -220,11 +243,11 @@ def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
             if it % cfg.resprint == 0 or it == cfg.maxiter:
                 cn, dn, diffV, dtime = _diag_and_log(
                     V_norm_sq, st, Ws, cn_prev, clock, plot, it, cfg.tol,
-                    1, history)
+                    1, history, mesh)
                 cn_prev = jnp.asarray(cn, Ws[0].dtype)
                 if (dn < cfg.tol and it > 0) or dtime > cfg.timelimit:
                     if core is None:
-                        core = sp.ttmc(st, list(Ws), skip_mode=-1)
+                        core = _sp_ttmc(st, list(Ws), -1, mesh)
                     return tkm.TuckerResult(Ws, core, dn, diffV, it,
                                             dn < cfg.tol, history)
             Ws, dWs, core = tracing.timed(
@@ -239,5 +262,5 @@ def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
         if tol_init > cfg.tol_init_floor:
             tol_init *= cfg.tol_init_decay
     if core is None:
-        core = sp.ttmc(st, list(Ws), skip_mode=-1)
+        core = _sp_ttmc(st, list(Ws), -1, mesh)
     return tkm.TuckerResult(Ws, core, dn, diffV, it, dn < cfg.tol, history)

@@ -301,6 +301,56 @@ def sharded_sparse_pp_caches(st, Ws, mesh: Mesh):
     return f(st.indices, st.values, *Ws)
 
 
+def sharded_sparse_ttmc(st, Ws, skip_mode: int, mesh: Mesh):
+    """Sparse-first TTMc over the nnz-sharded COO: each shard contracts
+    its nonzeros (ops/sparse.ttmc — one fused-index segment_sum + dense
+    chain, all LINEAR in the values) and the dense results reduce with
+    one psum. Exact because scatter-adds commute with the nnz split —
+    the Tucker analogue of :func:`sharded_sparse_mttkrp`
+    (als_Tucker.cxx TTMc on a distributed sparse CTF tensor)."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
+    axis = _coo_axis(st, mesh)
+
+    def local(idx, val, *Wl):
+        stl = sp.SparseTensor(idx, val, st.shape)
+        return jax.lax.psum(sp.ttmc(stl, list(Wl), skip_mode=skip_mode),
+                            axis)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)) + tuple(P(None, None)
+                                                  for _ in Ws),
+        out_specs=P(*([None] * st.ndim)))
+    return f(st.indices, st.values, *Ws)
+
+
+def sharded_sparse_ttmc_caches(st, Ws, mesh: Mesh):
+    """Tucker PP cache build over the nnz-sharded COO: each shard runs
+    the memoized sparse cache build on its nonzeros
+    (ops/sparse.build_ttmc_caches) and the dense pair/single caches
+    reduce with one psum — Build_ttmc_map on a distributed sparse
+    tensor (als_Tucker.cxx:426-466)."""
+    from pairwise_perturbation_tpu.ops import sparse as sp
+    axis = _coo_axis(st, mesh)
+    order = st.ndim
+
+    def local(idx, val, *Wl):
+        stl = sp.SparseTensor(idx, val, st.shape)
+        single, pair = sp.build_ttmc_caches(stl, list(Wl))
+        return jax.lax.psum((single, pair), axis)
+
+    pair_keys = [(i, j) for i in range(order) for j in range(i + 1, order)]
+    rep = P(*([None] * order))
+    out_specs = ({i: rep for i in range(order)},
+                 {k: rep for k in pair_keys})
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)) + tuple(P(None, None)
+                                                  for _ in Ws),
+        out_specs=out_specs)
+    return f(st.indices, st.values, *Ws)
+
+
 def sharded_sparse_gradnorm(st, Ws, mesh: Mesh, regul=None):
     """Exact CP gradnorm over the sharded nonzeros (per-mode partial
     MTTKRPs psum-reduced before the gradient assembly)."""

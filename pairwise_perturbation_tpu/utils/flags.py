@@ -35,7 +35,7 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                    help="1: COO sparse engine (reference test_ALS.cxx:126-131). "
                         "Supported: test_als -model {CP,Tucker} -pp {0,1}, "
                         "run (all optimizers), and -mesh with sparse for "
-                        "test_als CP on a 1D nnz-sharded mesh; "
+                        "test_als CP/Tucker on a 1D nnz-sharded mesh; "
                         "anything else fails loudly")
     p.add_argument("-resprint", type=int, default=10)
     p.add_argument("-tol", type=float, default=1e-10,
