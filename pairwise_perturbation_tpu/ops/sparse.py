@@ -90,15 +90,51 @@ def _gathered_kr(st: SparseTensor, Ws: Sequence, skip: Tuple[int, ...]):
     return prod
 
 
-def mttkrp(st: SparseTensor, Ws: Sequence, mode: int):
+# Scatter strategy for the sparse reductions. TPU scatter-adds
+# (segment_sum with random indices) serialize on the vector unit; the
+# MXU-native alternative is a ONE-HOT MATMUL: M = E^T @ prod with
+# E[n, i] = 1[idx_n == i] — 2 * nnz * s * R FLOPs on the systolic array
+# instead of nnz serialized row-updates. The one-hot is materialized
+# (nnz * s elements), so it only pays off while nnz * s stays
+# HBM-friendly; above the budget we fall back to segment_sum.
+ONEHOT_BUDGET_ELEMS = 2 * 10**9  # ~2 GB at f32 ones; plenty for 1.6M x 200
+
+
+def _scatter_rows(prod, idx, n_segments: int, method: str = "auto"):
+    """sum_n prod[n, :] into rows idx[n] of an (n_segments, R) output.
+
+    ``method``: 'segment' (jax.ops.segment_sum), 'onehot' (MXU matmul),
+    'auto' (one-hot when the materialized one-hot fits the budget).
+    Both are exact in f32: the one-hot matmul accumulates in f32 on the
+    MXU (ones are exact in any float format)."""
+    if method == "auto":
+        method = ("onehot"
+                  if prod.shape[0] * n_segments <= ONEHOT_BUDGET_ELEMS
+                  else "segment")
+    if method == "onehot":
+        onehot = (idx[:, None] == jnp.arange(n_segments,
+                                             dtype=idx.dtype)[None, :])
+        return jax.lax.dot_general(
+            onehot.astype(prod.dtype), prod,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+            if prod.dtype != jnp.float64 else jnp.float64
+        ).astype(prod.dtype)
+    return jax.ops.segment_sum(prod, idx, num_segments=n_segments)
+
+
+def mttkrp(st: SparseTensor, Ws: Sequence, mode: int,
+           method: str = "auto"):
     """Exact sparse MTTKRP: M[i, r] = sum_nnz v * prod_{j != mode} W_j.
 
     Reference semantics: KhatriRao_contract on a sparse CTF tensor
-    (common.cxx:931-997 with V sparse).
+    (common.cxx:931-997 with V sparse). ``method``: see
+    :func:`_scatter_rows` — 'auto' rides the MXU one-hot matmul when it
+    fits (measured numbers in results/SPARSE_PERF.md).
     """
     prod = _gathered_kr(st, Ws, (mode,))
-    return jax.ops.segment_sum(prod, st.indices[:, mode],
-                               num_segments=st.shape[mode])
+    return _scatter_rows(prod, st.indices[:, mode], st.shape[mode],
+                         method)
 
 
 def pair_cache(st: SparseTensor, Ws: Sequence, i: int, j: int):
@@ -141,8 +177,7 @@ def build_pp_caches(st: SparseTensor, Ws: Sequence):
         suffix[k] = suffix[k + 1] * rows[k]
 
     def scatter_single(prod, i):
-        return jax.ops.segment_sum(prod, st.indices[:, i],
-                                   num_segments=st.shape[i])
+        return _scatter_rows(prod, st.indices[:, i], st.shape[i])
 
     def scatter_pair(prod, i, j):
         fused = st.indices[:, i].astype(jnp.int32) * st.shape[j] \
@@ -196,7 +231,7 @@ def ttm_dense(st: SparseTensor, W, mode: int, rank_last: bool = False):
         fused = fused * st.shape[m] + st.indices[:, m].astype(jnp.int32)
     vals = st.values[:, None] * W[st.indices[:, mode], :]   # (nnz, r)
     n_seg = int(np.prod([st.shape[m] for m in others]))
-    flat = jax.ops.segment_sum(vals, fused, num_segments=n_seg)
+    flat = _scatter_rows(vals, fused, n_seg)
     out = flat.reshape(tuple(st.shape[m] for m in others) + (r,))
     if rank_last:
         return out

@@ -1,0 +1,206 @@
+"""Sparse engine performance story (VERDICT r4 weak #3 / next #4).
+
+Measures, on the canonical sparse fixture (order-4 200^4, nnz = 1.6M,
+the shape class bench.py reports as sparse200_4_nnz1.6M):
+
+1. sparse MTTKRP per mode, THREE scatter strategies:
+   - segment  : jax.ops.segment_sum (the round-4 kernel),
+   - sorted   : segment_sum with per-mode pre-sorted nonzeros
+                (indices_are_sorted=True; sort cost is setup),
+   - onehot   : MXU one-hot matmul (ops/sparse._scatter_rows);
+2. the full sparse simple sweep + PP cache build (auto strategy);
+3. the DENSE engine on the SAME tensor (to_dense + dt_sweep) — the
+   "why bother with sparse" comparison;
+4. a numpy CPU baseline (gather + np.add.at) on the same nonzeros;
+5. a traffic roofline: bytes = nnz * (N idx + val + (N-1) R gathered)
+   at the v5e HBM peak — how far each kernel sits from speed-of-light.
+
+Writes results/sparse_perf.json + results/SPARSE_PERF.md.
+Run on the TPU: python scripts/bench_sparse_perf.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pairwise_perturbation_tpu.models import sparse_cp as spm
+from pairwise_perturbation_tpu.ops import sparse as sp
+
+HBM_GBPS = 819.0  # v5e HBM peak
+SHAPE = (200, 200, 200, 200)
+NNZ = 1_600_000
+R = 10
+
+
+def _pull(x):
+    jax.block_until_ready(x)
+
+
+def _time(fn, n=20):
+    fn()  # compile + warm
+    _pull(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn()
+    _pull(out)
+    return max((time.perf_counter() - t0) / n, 1e-9)
+
+
+def main():
+    dtype = jnp.float32
+    kidx = jax.random.PRNGKey(11)
+    idx = jnp.stack(
+        [jax.random.randint(jax.random.fold_in(kidx, i), (NNZ,), 0, s)
+         for i, s in enumerate(SHAPE)], axis=1).astype(jnp.int32)
+    vals = jax.random.uniform(jax.random.PRNGKey(12), (NNZ,), dtype=dtype)
+    st = sp.SparseTensor(idx, vals, SHAPE)
+    Ws = [jax.random.uniform(jax.random.PRNGKey(80 + i), (s, R),
+                             dtype=dtype) for i, s in enumerate(SHAPE)]
+    order = len(SHAPE)
+
+    out = dict(shape=list(SHAPE), nnz=NNZ, rank=R, dtype="float32",
+               hbm_peak_GBps=HBM_GBPS)
+
+    # --- traffic roofline for ONE mttkrp (gather-side; the scatter
+    # output s*R is negligible). idx columns actually read: all N (one
+    # for the scatter, N-1 for gathers); gathered rows (N-1)*R floats.
+    bytes_per_mttkrp = NNZ * (order * 4 + 4 + (order - 1) * R * 4)
+    roofline_mttkrp_s = bytes_per_mttkrp / (HBM_GBPS * 1e9)
+    out["mttkrp_traffic_MB"] = bytes_per_mttkrp / 1e6
+    out["mttkrp_roofline_ms"] = roofline_mttkrp_s * 1e3
+    # the one-hot path ADDITIONALLY materializes the (nnz, s) one-hot
+    out["onehot_extra_traffic_MB"] = NNZ * SHAPE[0] * 4 / 1e6
+
+    # --- per-mode MTTKRP, three strategies
+    for method in ("segment", "onehot"):
+        f = jax.jit(lambda Ws, m=0, method=method:
+                    sp.mttkrp(st, list(Ws), m, method=method))
+        t = _time(lambda: f(Ws))
+        out[f"mttkrp_{method}_ms"] = t * 1e3
+        out[f"mttkrp_{method}_roofline_frac"] = roofline_mttkrp_s / t
+        print(f"mttkrp[{method}]: {t*1e3:.3f} ms "
+              f"({100*roofline_mttkrp_s/t:.1f}% of gather roofline)",
+              flush=True)
+
+    # sorted segment_sum: pre-sort nonzeros by mode-0 index (setup cost,
+    # amortized over a whole solve)
+    perm = jnp.argsort(idx[:, 0])
+    idx_s, vals_s = idx[perm], vals[perm]
+    st_sorted = sp.SparseTensor(idx_s, vals_s, SHAPE)
+
+    def mttkrp_sorted(Ws):
+        prod = sp._gathered_kr(st_sorted, list(Ws), (0,))
+        return jax.ops.segment_sum(prod, st_sorted.indices[:, 0],
+                                   num_segments=SHAPE[0],
+                                   indices_are_sorted=True)
+
+    t = _time(jax.jit(mttkrp_sorted))
+    out["mttkrp_sorted_ms"] = t * 1e3
+    out["mttkrp_sorted_roofline_frac"] = roofline_mttkrp_s / t
+    print(f"mttkrp[sorted]: {t*1e3:.3f} ms", flush=True)
+
+    # --- full sweep + cache build (auto = one-hot singles)
+    lam = jnp.asarray(0.0, dtype)
+    sweep = jax.jit(lambda Ws: spm.sparse_simple_sweep(st, list(Ws), lam,
+                                                       solver="svd"))
+    t_sweep = _time(lambda: sweep(Ws), n=10)
+    out["sweep_auto_ms"] = t_sweep * 1e3
+    build = jax.jit(lambda Ws: spm.sparse_pp_build_caches(st, list(Ws)))
+    t_build = _time(lambda: build(Ws), n=5)
+    out["cache_build_auto_ms"] = t_build * 1e3
+    print(f"sweep(auto): {t_sweep*1e3:.2f} ms  "
+          f"cache build(auto): {t_build*1e3:.2f} ms", flush=True)
+
+    # --- dense engine on the SAME tensor
+    from pairwise_perturbation_tpu.models import cp
+    Vd = sp.to_dense(st)
+    _pull(Vd)
+    dsweep = jax.jit(lambda Ws: cp.dt_sweep(Vd, list(Ws), lam,
+                                            solver="svd"))
+    t_dense = _time(lambda: dsweep(Ws), n=5)
+    out["dense_dt_sweep_ms"] = t_dense * 1e3
+    out["sweep_vs_dense"] = t_dense / t_sweep
+    dense_bytes = int(np.prod(SHAPE)) * 4 * 2  # ~2 V passes per sweep
+    out["dense_roofline_ms"] = dense_bytes / (HBM_GBPS * 1e9) * 1e3
+    print(f"dense dt_sweep on same tensor: {t_dense*1e3:.2f} ms "
+          f"(sparse is {t_dense/t_sweep:.1f}x faster)", flush=True)
+    del Vd
+
+    # --- numpy CPU baseline (gather + np.add.at), one mttkrp
+    idx_h = np.asarray(idx)
+    vals_h = np.asarray(vals)
+    Ws_h = [np.asarray(w) for w in Ws]
+
+    def np_mttkrp():
+        prod = vals_h[:, None] * Ws_h[1][idx_h[:, 1]] \
+            * Ws_h[2][idx_h[:, 2]] * Ws_h[3][idx_h[:, 3]]
+        out = np.zeros((SHAPE[0], R), np.float32)
+        np.add.at(out, idx_h[:, 0], prod)
+        return out
+
+    t0 = time.perf_counter()
+    np_mttkrp()
+    t_np = time.perf_counter() - t0
+    out["mttkrp_numpy_cpu_ms"] = t_np * 1e3
+    best = min(out["mttkrp_segment_ms"], out["mttkrp_onehot_ms"],
+               out["mttkrp_sorted_ms"])
+    out["mttkrp_vs_cpu"] = t_np * 1e3 / best
+    print(f"numpy CPU mttkrp: {t_np*1e3:.1f} ms "
+          f"({t_np*1e3/best:.1f}x slower than best TPU)", flush=True)
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/sparse_perf.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+    md = f"""# Sparse engine performance (one TPU v5e chip)
+
+Fixture: order-4 {'x'.join(map(str, SHAPE))}, nnz = {NNZ:,}, rank {R},
+f32 (bench.py's sparse200_4_nnz1.6M class). HBM peak {HBM_GBPS} GB/s.
+
+## Per-MTTKRP scatter strategies
+
+Gather-side traffic roofline: {out['mttkrp_traffic_MB']:.0f} MB
+-> {out['mttkrp_roofline_ms']:.2f} ms/MTTKRP at HBM peak.
+
+| kernel | ms / MTTKRP | % of roofline |
+|---|---|---|
+| segment_sum (round 4) | {out['mttkrp_segment_ms']:.2f} | {100*out['mttkrp_segment_roofline_frac']:.1f}% |
+| segment_sum, pre-sorted | {out['mttkrp_sorted_ms']:.2f} | {100*out['mttkrp_sorted_roofline_frac']:.1f}% |
+| one-hot MXU matmul | {out['mttkrp_onehot_ms']:.2f} | {100*out['mttkrp_onehot_roofline_frac']:.1f}% |
+
+The one-hot path pays an extra {out['onehot_extra_traffic_MB']:.0f} MB
+(materialized (nnz, s) one-hot) but replaces the serialized scatter-add
+with a systolic matmul — `ops/sparse._scatter_rows` picks it
+automatically when the one-hot fits the HBM budget.
+
+## Engine-level numbers
+
+| metric | value |
+|---|---|
+| sparse simple sweep (auto) | {out['sweep_auto_ms']:.2f} ms |
+| PP cache build (auto) | {out['cache_build_auto_ms']:.2f} ms |
+| DENSE dt_sweep on the same tensor | {out['dense_dt_sweep_ms']:.2f} ms |
+| sparse sweep speedup vs dense engine | {out['sweep_vs_dense']:.1f}x |
+| numpy CPU MTTKRP (2-core host) | {out['mttkrp_numpy_cpu_ms']:.1f} ms |
+| best TPU MTTKRP vs CPU | {out['mttkrp_vs_cpu']:.1f}x |
+
+Dense roofline on the same tensor: ~{out['dense_roofline_ms']:.1f} ms/sweep
+(two 6.4 GB V passes) — the sparse engine's reason to exist at density
+1e-3 is the {out['sweep_vs_dense']:.0f}x sweep-time gap.
+"""
+    with open("results/SPARSE_PERF.md", "w") as f:
+        f.write(md)
+    print("wrote results/SPARSE_PERF.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Tucker PP vs Tucker DT: end-to-end time-to-equal-fitness
+(VERDICT r4 weak #2 / next #3).
+
+Round 4's diagnosis: coil Tucker PP lost 0.57x because the PP sweep was
+extraction-dominated (every mode re-eigh'd every sweep). Round 5 acts on
+it (tucker_pp_sweep: PP-auto 1-iteration warm subspace + quiet-mode
+skip) and benches BOTH the extraction-dominated config (coil ranks) and
+the reference's TTMc-dominated strong-scaling fixture shape class
+(order-6 'r2', script_strongscaling.py:10, sized to one chip).
+
+Per config: DT baseline = als_tucker (host driver, honest clock) vs
+PP = als_tucker_pp_fused, identical HOSVD init (deterministic), restol
+grid {0.1, 0.5} (script_real.py:50-58). Equal-fitness rule =
+fitness.equal_fitness_times on diffV (total: sustained or monotone).
+
+Usage: python scripts/bench_tucker_e2e.py [config ...]
+  configs: order6 coil all (default all)
+Writes results/tucker_e2e.json + updates results/TUCKER_PP.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitness import equal_fitness_times, final_row_fitness
+
+OUT = "results/tucker_e2e.json"
+
+
+def _configs():
+    from pairwise_perturbation_tpu.utils import synth
+    cfgs = {}
+
+    def order6():
+        V = synth.make_tensor("r2", 6, 24, 6, seed=2, dtype=np.float64)
+        return jnp.asarray(V, jnp.float32), (6,) * 6, 250
+
+    cfgs["order6_s24_r2"] = order6
+
+    def coil():
+        from pairwise_perturbation_tpu.utils import io as ppio
+        from pairwise_perturbation_tpu.utils import layout as tlayout
+        data_dir = os.environ.get("PP_DATA_DIR", "/root/repo/data")
+        V_np = ppio.load_coil100(os.path.join(data_dir, "coil-100.bin"))
+        V, perm = tlayout.canonicalize(V_np.astype(np.float32))
+        ranks = tlayout.permute_tuple((3, 10, 10, 70), perm)
+        return jnp.asarray(V), tuple(ranks), 250
+
+    cfgs["coil_standin"] = coil
+    return cfgs
+
+
+def main():
+    from pairwise_perturbation_tpu.models import tucker
+
+    want = sys.argv[1:] or ["all"]
+    cfgs = _configs()
+    names = list(cfgs) if "all" in want else [n for n in cfgs
+                                              if n in want]
+    summary = {}
+    if os.path.exists(OUT):
+        summary = json.load(open(OUT))
+
+    for name in names:
+        V, ranks, maxiter = cfgs[name]()
+        Vnorm = float(jnp.linalg.norm(V.ravel()))
+        print(f"== {name}: shape {V.shape} ranks {ranks}", flush=True)
+        # identical init for every run: deterministic HOSVD
+        core0, Ws0 = tucker.hosvd(V, ranks)
+        common = dict(tol=1e-10 * Vnorm, maxiter=maxiter, resprint=5)
+
+        cfg_dt = tucker.TuckerConfig(pp_res_tol=0.1, **common)
+        res_dt = tucker.als_tucker(V, ranks, cfg_dt,
+                                   Ws=[jnp.array(w) for w in Ws0])
+        print(f"  DT : final diffV {res_dt.diffV:.6e} "
+              f"dtime {res_dt.history[-1]['dtime']:.3f}s", flush=True)
+
+        for rt in (0.1, 0.5):
+            for quiet_frac, qtag in ((0.1, ""), (0.0, "_noskip")):
+                if qtag and rt != 0.1:
+                    continue  # attribution run only at one restol
+                cfg_pp = tucker.TuckerConfig(pp_res_tol=rt,
+                                             pp_quiet_frac=quiet_frac,
+                                             **common)
+                res_pp = tucker.als_tucker_pp_fused(
+                    V, ranks, cfg_pp, Ws=[jnp.array(w) for w in Ws0])
+                t_dt, t_pp, target, rule = equal_fitness_times(
+                    res_dt.history, res_pp.history)
+                speedup = (t_dt / t_pp) if (t_dt and t_pp) else None
+                key = f"{name}_rt{rt}{qtag}"
+                summary[key] = dict(
+                    shape=list(V.shape), ranks=list(ranks), restol=rt,
+                    pp_quiet_frac=quiet_frac, maxiter=maxiter,
+                    dt_final_diffV=float(final_row_fitness(
+                        res_dt.history)),
+                    pp_final_diffV=float(final_row_fitness(
+                        res_pp.history)),
+                    dt_time_to_target=t_dt, pp_time_to_target=t_pp,
+                    dt_total_dtime=float(res_dt.history[-1]["dtime"]),
+                    pp_total_dtime=float(res_pp.history[-1]["dtime"]),
+                    target_diffV=float(target), fitness_rule=rule,
+                    speedup=speedup)
+                print(f"  PP rt={rt}{qtag}: final "
+                      f"{summary[key]['pp_final_diffV']:.6e} "
+                      f"target {target:.4e} ({rule}) "
+                      f"DT {t_dt} s PP {t_pp} s -> "
+                      f"speedup {speedup}", flush=True)
+                json.dump(summary, open(OUT, "w"), indent=1,
+                          sort_keys=True)
+        del V
+    # ---- TUCKER_PP.md ----
+    lines = [
+        "# Tucker PP vs Tucker DT: time-to-equal-fitness "
+        "(one TPU v5e chip)", "",
+        "DT = als_tucker host driver (honest clock); PP = fused Tucker "
+        "DT<->PP machine with the round-5 extraction economics "
+        "(PP-auto 1-iteration warm subspace + quiet-mode skip, "
+        "`_noskip` rows disable the skip for attribution). Identical "
+        "deterministic HOSVD init; total equal-fitness rule "
+        "(fitness.equal_fitness_times).", "",
+        "| config | ranks | restol | rule | DT time (s) | PP time (s) "
+        "| speedup | DT full (s) | PP full (s) |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for k in sorted(summary):
+        e = summary[k]
+        sp_ = f"**{e['speedup']:.2f}x**" if e.get("speedup") else "n/a"
+        tdt = f"{e['dt_time_to_target']:.3f}" \
+            if e.get("dt_time_to_target") else "never"
+        tpp = f"{e['pp_time_to_target']:.3f}" \
+            if e.get("pp_time_to_target") else "never"
+        lines.append(
+            f"| {k} | {'x'.join(map(str, e['ranks']))} | {e['restol']} "
+            f"| {e.get('fitness_rule', '?')} | {tdt} | {tpp} | {sp_} "
+            f"| {e['dt_total_dtime']:.3f} | {e['pp_total_dtime']:.3f} |")
+    with open("results/TUCKER_PP.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote results/TUCKER_PP.md")
+
+
+if __name__ == "__main__":
+    main()

