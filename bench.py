@@ -449,13 +449,15 @@ def main() -> int:
             st, pt = ppt.tucker_build_caches(V, list(Wst))
             W_initt = [w for w in Wst]
             dWst = [jnp.zeros_like(w) for w in Wst]
-            curt, dct, _ = ppt.tucker_pp_sweep(st, pt, list(Wst), W_initt, dWst,
-                                               ranks=tranks)
+            curt, dct, _, _ = ppt.tucker_pp_sweep(st, pt, list(Wst),
+                                                  W_initt, dWst,
+                                                  ranks=tranks)
             _pull(curt[0])
             t0 = time.perf_counter()
             for _ in range(nt):
-                curt, dct, _ = ppt.tucker_pp_sweep(st, pt, curt, W_initt, dct,
-                                                   ranks=tranks)
+                curt, dct, _, _ = ppt.tucker_pp_sweep(st, pt, curt,
+                                                      W_initt, dct,
+                                                      ranks=tranks)
             _pull(curt[0])
             tucker_pp = max(
                 (time.perf_counter() - t0 - pull_overhead) / nt, 1e-9)

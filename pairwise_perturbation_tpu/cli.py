@@ -538,15 +538,15 @@ def cmd_pp_bench(args) -> int:
             single, pair = tucker.tucker_build_caches(V, list(Ws0))
             W_init = [w for w in Ws0]
             dWs = [jnp.zeros_like(w) for w in Ws0]
-            Ws, dWs, core = tucker.tucker_pp_sweep(single, pair, list(Ws0),
-                                                   W_init, dWs,
-                                                   ranks=tuple(ranks))
+            Ws, dWs, core, _ = tucker.tucker_pp_sweep(single, pair,
+                                                      list(Ws0),
+                                                      W_init, dWs,
+                                                      ranks=tuple(ranks))
             _sync(Ws)
             t1 = time.perf_counter()
             plot.bench_row("PPfirst", t1 - t0)
-            Ws2, dWs2, core2 = tucker.tucker_pp_sweep(single, pair, Ws,
-                                                      W_init, dWs,
-                                                      ranks=tuple(ranks))
+            Ws2, dWs2, core2, _ = tucker.tucker_pp_sweep(
+                single, pair, Ws, W_init, dWs, ranks=tuple(ranks))
             _sync(Ws2)
             plot.bench_row("PPsecond", time.perf_counter() - t1)
     plot.close()

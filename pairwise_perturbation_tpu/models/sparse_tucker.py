@@ -250,7 +250,7 @@ def als_tucker_pp_sparse(st, ranks, cfg: tkm.TuckerConfig,
                         core = _sp_ttmc(st, list(Ws), -1, mesh)
                     return tkm.TuckerResult(Ws, core, dn, diffV, it,
                                             dn < cfg.tol, history)
-            Ws, dWs, core = tracing.timed(
+            Ws, dWs, core, _stat = tracing.timed(
                 "sparse_tucker.pp_sweep", tkm.tucker_pp_sweep, single,
                 pair, Ws, W_init, dWs, ranks=ranks, subspace_iters=0)
             it += 1

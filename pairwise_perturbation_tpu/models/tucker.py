@@ -273,7 +273,10 @@ def tucker_pp_sweep(single, pair, Ws, W_init, dWs, quiet_tol=0.0, age=0, *,
                     ranks: Tuple[int, ...], subspace_iters: int = 0):
     """One PP Tucker sweep (als_Tucker.cxx:823-891): corrected TTMc from
     caches, factor update, sign fix vs W_init, cumulative dW.
-    Returns (Ws_new, dWs_new, core).
+    Returns (Ws_new, dWs_new, core, stationary) — ``stationary`` is True
+    when EVERY mode was quiet-skipped: the sweep was a no-op (the PP
+    fixed point of this cache is reached) and the phase should exit to
+    the exact machine instead of spinning to the sweep cap.
 
     Extraction economics (VERDICT r4 weak #2 — the PP sweep must not
     recompute what barely moved):
@@ -300,9 +303,11 @@ def tucker_pp_sweep(single, pair, Ws, W_init, dWs, quiet_tol=0.0, age=0, *,
                      jnp.maximum(jnp.linalg.norm(w), tiny)
                      for d, w in zip(dWs, Ws)])
     Y_end = None
+    stationary = jnp.asarray(True)
     for i in range(order):
         others = jnp.max(rel.at[i].set(0.0))
         quiet = (jnp.asarray(age) > 0) & (others < quiet_tol)
+        stationary = stationary & quiet
         last = i == order - 1
 
         def extract_from(Y, i=i):
@@ -326,7 +331,7 @@ def tucker_pp_sweep(single, pair, Ws, W_init, dWs, quiet_tol=0.0, age=0, *,
         Ws[i] = U
         dWs[i] = U - W_init[i]
     core = contract.ttmc_contract_mode(Y_end, Ws[order - 1], order - 1)
-    return Ws, dWs, core
+    return Ws, dWs, core, stationary
 
 
 @jax.jit
@@ -551,12 +556,16 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
                 return Ws, dWs, "maxiter"
         quiet_tol = jnp.asarray(cfg.pp_quiet_frac * state["tol_init"],
                                 Ws[0].dtype)
-        Ws, dWs, core = tracing.timed(
+        Ws, dWs, core, stationary = tracing.timed(
             "tucker.pp_sweep", tucker_pp_sweep, single, pair, Ws, W_init,
             dWs, quiet_tol, jnp.asarray(it - build_it),
             subspace_iters=cfg.subspace_iters, ranks=ranks)
         state["core"] = core
         state["iter"] = it + 1
+        if bool(stationary):
+            # every mode quiet-skipped: the PP fixed point of this cache
+            # is reached — exit to the exact machine, don't spin
+            return Ws, dWs, "restart"
     return Ws, dWs, "maxiter"
 
 
@@ -651,46 +660,51 @@ def tucker_dt_phase_device(V, Ws, tol_init, diff_tol, it_budget,
 
 
 @partial(jax.jit, static_argnames=("ranks", "max_sweeps",
-                                   "subspace_iters", "resprint"))
+                                   "subspace_iters", "resprint",
+                                   "n_slots"))
 def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget, it0=0,
                            quiet_tol=0.0,
                            *, ranks: Tuple[int, ...], max_sweeps: int = 64,
-                           subspace_iters: int = 0, resprint: int = 0):
+                           subspace_iters: int = 0, resprint: int = 0,
+                           n_slots: int = 0):
     """PP Tucker sweeps on device until the restart tolerance trips /
-    diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist).
+    diffnorm < tol / budget. Returns (n, Ws, dWs, core, diffnorm, hist,
+    snaps, snap_labels, snap_count).
 
-    Like cp.pp_phase_device: the per-sweep core comes from the
-    PP-approximate TTMc (first-order in dW), so on rows the host will log
-    ((it0 + k) % resprint == 0) the core norm / diffV are recomputed
-    EXACTLY with a fresh TTMc — one V pass, paid only on logged rows."""
+    Like cp.pp_phase_device (round-5 accounting): the per-sweep core
+    comes from the PP-approximate TTMc (first-order in dW); rows the
+    host will log ((it0 + k) % resprint == 0) snapshot the factors into
+    the ring, and the HOST recomputes the exact core norm / diffV from
+    them after the phase, inside its excluded window — the timed
+    dispatch never pays the diagnostic TTMc (als_CP.cxx:474-482
+    accounting)."""
+    from pairwise_perturbation_tpu.models.cp import (_snap_ring_init,
+                                                     _snap_ring_write,
+                                                     factor_norm_ratios)
     V_norm_sq = contract.norm_sq(V)
     single, pair = contract.build_ttmc_caches(V, list(Ws))
     W_init = tuple(Ws)
 
     def body(carry):
-        k, Ws, dWs, cn_prev, dn, broke, core, hist = carry
-        Ws2, dWs2, core2 = tucker_pp_sweep(single, pair, list(Ws),
-                                           list(W_init), list(dWs),
-                                           quiet_tol, k,
-                                           ranks=ranks,
-                                           subspace_iters=subspace_iters)
-        from pairwise_perturbation_tpu.models.cp import factor_norm_ratios
+        k, Ws, dWs, cn_prev, dn, broke, core, hist, snaps, labels, n = carry
+        Ws2, dWs2, core2, stat2 = tucker_pp_sweep(
+            single, pair, list(Ws), list(W_init), list(dWs),
+            quiet_tol, k, ranks=ranks, subspace_iters=subspace_iters)
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
-        broke2 = jnp.any(jnp.abs(ratios) > tol_init)
+        broke2 = jnp.any(jnp.abs(ratios) > tol_init) | stat2
         cn = jnp.linalg.norm(core2.ravel())
         if resprint:
-            def exact_cn(_):
-                return jnp.linalg.norm(
-                    contract.ttmc(V, list(Ws2), skip_mode=-1).ravel())
             logged = jnp.mod(it0 + k, resprint) == 0
-            cn = jax.lax.cond(logged, exact_cn, lambda _: cn, None)
+            snaps, labels, n = _snap_ring_write(
+                it0 + k, Ws2, snaps, labels, n, n_slots, logged)
         dn2 = jnp.abs(cn - cn_prev)
         diffV = jnp.sqrt(jnp.maximum(V_norm_sq - cn * cn, 0.0))
         hist = hist.at[k].set(jnp.stack([dn2, diffV]))
-        return (k + 1, tuple(Ws2), tuple(dWs2), cn, dn2, broke2, core2, hist)
+        return (k + 1, tuple(Ws2), tuple(dWs2), cn, dn2, broke2, core2,
+                hist, snaps, labels, n)
 
     def cond(carry):
-        k, _, _, _, dn, broke, _, _ = carry
+        k, _, _, _, dn, broke, _, _, _, _, _ = carry
         return (k < it_budget) & jnp.logical_not(broke) & (dn >= diff_tol)
 
     core0 = contract.ttmc(V, list(Ws), skip_mode=-1)
@@ -698,10 +712,11 @@ def tucker_pp_phase_device(V, Ws, tol_init, diff_tol, it_budget, it0=0,
     zeros = tuple(jnp.zeros_like(W) for W in Ws)
     init = (jnp.asarray(0), tuple(Ws), zeros,
             jnp.linalg.norm(core0.ravel()),
-            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), core0, hist0)
-    k, Ws_f, dWs_f, cn, dn, broke, core, hist = jax.lax.while_loop(
-        cond, body, init)
-    return k, list(Ws_f), list(dWs_f), core, dn, hist
+            jnp.asarray(jnp.inf, V.dtype), jnp.asarray(False), core0,
+            hist0) + _snap_ring_init(Ws, n_slots)
+    (k, Ws_f, dWs_f, cn, dn, broke, core, hist, snaps, labels,
+     n) = jax.lax.while_loop(cond, body, init)
+    return k, list(Ws_f), list(dWs_f), core, dn, hist, snaps, labels, n
 
 
 def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
@@ -717,11 +732,14 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         Ws = [jnp.asarray(W) for W in Ws]
         core = contract.ttmc(V, Ws, skip_mode=-1)
     clock = clock or SweepClock()
+    V_norm_sq = contract.norm_sq(V)
     tol_init = cfg.pp_res_tol
     history: list = []
     it = 0
     dn = float("inf")
     diffV = float("inf")
+    # snapshot ring slots: enough for every logged row of one PP phase
+    n_slots = (cfg.maxiter // max(cfg.resprint, 1)) + 3
 
     # compile warm-up with zero sweep budgets, then start the clock
     _w1 = tucker_dt_phase_device(
@@ -733,21 +751,50 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
         jnp.asarray(0), jnp.asarray(0),
         jnp.asarray(cfg.pp_quiet_frac * tol_init, V.dtype), ranks=ranks,
         max_sweeps=cfg.maxiter + 1, subspace_iters=cfg.subspace_iters,
-        resprint=cfg.resprint)
+        resprint=cfg.resprint, n_slots=n_slots)
     from pairwise_perturbation_tpu.models.cp import (_host_pull, _sync,
                                                      calibrate_rtt)
     _sync((_w1[3], _w2[3]))
     calibrate_rtt(clock, _w1[3])
     clock.reset()
 
-    def _log(hist, n, pp_flag, t0, t1):
+    cn_by_it: dict = {}  # exact core norms of logged rows (for exact dn)
+
+    def _log(hist, n, pp_flag, t0, t1, snaps=None, labels=None,
+             snap_n=None):
         nonlocal it, dn, diffV
         # full-buffer pull + host slice (device slices recompile per n)
         h = np.asarray(jax.device_get(hist))[:n]
+        # EXACT core norm / diffV for logged PP rows, from the phase's
+        # factor snapshots — computed in the excluded window so the
+        # timed dispatch never paid the diagnostic TTMc
+        exact: dict = {}
+        if snaps is not None:
+            with clock.exclude():
+                sn = int(np.asarray(snap_n))
+                if sn > 0:
+                    labels_h = np.asarray(jax.device_get(labels))
+                    for slot in range(min(sn, n_slots)):
+                        Ws_s = [s_[slot] for s_ in snaps]
+                        cn_s = float(jnp.linalg.norm(contract.ttmc(
+                            V, Ws_s, skip_mode=-1).ravel()))
+                        exact[int(labels_h[slot])] = cn_s
         for i in range(n):
             dn, diffV = float(h[i, 0]), float(h[i, 1])
             dt_row = t0 + (t1 - t0) * (i + 1) / max(n, 1)
             if it % cfg.resprint == 0 or it == cfg.maxiter:
+                if it in exact:
+                    cn_s = exact[it]
+                    cn_by_it[it] = cn_s
+                    diffV = float(np.sqrt(max(
+                        float(V_norm_sq) - cn_s * cn_s, 0.0)))
+                    prev = [v for k_, v in cn_by_it.items() if k_ < it]
+                    if prev:
+                        dn = abs(cn_s - prev[-1])
+                elif pp_flag == 0:
+                    # DT rows carry the exact core norm already
+                    cn_by_it[it] = float(np.sqrt(max(
+                        float(V_norm_sq) - diffV * diffV, 0.0)))
                 if plot is not None:
                     plot.row(V.shape[0], it, dn, cfg.tol, pp_flag, diffV,
                              dt_row)
@@ -771,15 +818,17 @@ def als_tucker_pp_device(V, ranks, cfg: TuckerConfig,
             break
         t0 = clock.dtime()
         budget = jnp.asarray(cfg.maxiter + 1 - it)
-        n, Ws, dWs, core, dn_d, hist = tucker_pp_phase_device(
+        (n, Ws, dWs, core, dn_d, hist, snaps, labels,
+         snap_n) = tucker_pp_phase_device(
             V, Ws, jnp.asarray(tol_init, V.dtype),
             jnp.asarray(cfg.tol, V.dtype), budget, jnp.asarray(it),
             jnp.asarray(cfg.pp_quiet_frac * tol_init, V.dtype),
             ranks=ranks, max_sweeps=cfg.maxiter + 1,
-            subspace_iters=cfg.subspace_iters, resprint=cfg.resprint)
+            subspace_iters=cfg.subspace_iters, resprint=cfg.resprint,
+            n_slots=n_slots)
         n = int(_host_pull(clock, n))
         t1 = clock.dtime()
-        _log(hist, n, 1, t0, t1)
+        _log(hist, n, 1, t0, t1, snaps, labels, snap_n)
         dn = float(dn_d)
         if dn < cfg.tol or t1 > cfg.timelimit:
             break
@@ -929,13 +978,12 @@ def tucker_fused_chunk(V, carry, tol_init0, diff_tol, maxiter,
         (it, phase, age, Ws, W_prev, dWs, W_init, single, pair_t, cn_prev,
          dn, core, stop, hist, snaps, snap_labels, snap_n, tol_init) = st
         p_d = {k: p for k, p in zip(keys, pair_t)}
-        Ws2, dWs2, core2 = tucker_pp_sweep(single, p_d, list(Ws),
-                                           list(W_init), list(dWs),
-                                           quiet_frac * tol_init, age,
-                                           ranks=ranks,
-                                           subspace_iters=subspace_iters)
+        Ws2, dWs2, core2, stat2 = tucker_pp_sweep(
+            single, p_d, list(Ws), list(W_init), list(dWs),
+            quiet_frac * tol_init, age, ranks=ranks,
+            subspace_iters=subspace_iters)
         ratios = factor_norm_ratios(list(Ws2), list(dWs2))
-        broke = jnp.any(jnp.abs(ratios) > tol_init)
+        broke = jnp.any(jnp.abs(ratios) > tol_init) | stat2
         age2 = age + 1
         it2 = it + 1
         cn = jnp.linalg.norm(core2.ravel())

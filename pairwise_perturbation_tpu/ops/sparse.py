@@ -114,9 +114,13 @@ def _scatter_rows(prod, idx, n_segments: int, method: str = "auto"):
     if method == "onehot":
         onehot = (idx[:, None] == jnp.arange(n_segments,
                                              dtype=idx.dtype)[None, :])
+        # HIGHEST precision: TPU default would run the matmul in bf16
+        # passes and round prod — the kernel swap must stay numerically
+        # invisible vs segment_sum (f32 summation-order noise only)
         return jax.lax.dot_general(
             onehot.astype(prod.dtype), prod,
             (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32
             if prod.dtype != jnp.float64 else jnp.float64
         ).astype(prod.dtype)

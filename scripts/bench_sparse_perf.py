@@ -102,10 +102,58 @@ def main():
                                    num_segments=SHAPE[0],
                                    indices_are_sorted=True)
 
-    t = _time(jax.jit(mttkrp_sorted))
+    f_sorted = jax.jit(mttkrp_sorted)
+    t = _time(lambda: f_sorted(Ws))
     out["mttkrp_sorted_ms"] = t * 1e3
     out["mttkrp_sorted_roofline_frac"] = roofline_mttkrp_s / t
     print(f"mttkrp[sorted]: {t*1e3:.3f} ms", flush=True)
+
+    # full one-hot: GATHERS as MXU matmuls too (E_j @ W_j) — the
+    # all-matmul formulation whose own roofline is the materialized
+    # one-hot traffic, 4 * nnz * s * 4 B
+    HI = jax.lax.Precision.HIGHEST
+
+    def mttkrp_onehot_full(Ws):
+        iota = jnp.arange(SHAPE[0], dtype=jnp.int32)
+        prod = vals[:, None] * jnp.ones((1, R), dtype)
+        for j in (1, 2, 3):
+            Ej = (idx[:, j, None] == iota[None, :]).astype(dtype)
+            prod = prod * jnp.matmul(Ej, Ws[j], precision=HI)
+        E0 = (idx[:, 0, None] == iota[None, :]).astype(dtype)
+        return jnp.matmul(E0.T, prod, precision=HI)
+
+    f_full = jax.jit(mttkrp_onehot_full)
+    np.testing.assert_allclose(
+        np.asarray(f_full(Ws)),
+        np.asarray(jax.jit(lambda Ws: sp.mttkrp(st, list(Ws), 0,
+                                                method="segment"))(Ws)),
+        rtol=2e-3, atol=1e-1)   # f32 summation-order noise over 8k-term sums
+    t = _time(lambda: f_full(Ws))
+    out["mttkrp_onehot_full_ms"] = t * 1e3
+    out["mttkrp_onehot_full_roofline_frac"] = roofline_mttkrp_s / t
+    out["onehot_full_own_roofline_ms"] = \
+        4 * NNZ * SHAPE[0] * 4 / (HBM_GBPS * 1e9) * 1e3
+    print(f"mttkrp[onehot_full]: {t*1e3:.3f} ms "
+          f"(own one-hot-traffic roofline "
+          f"{out['onehot_full_own_roofline_ms']:.2f} ms)", flush=True)
+
+    # Pallas fused kernel (one-hots generated in VMEM, never touch HBM)
+    try:
+        from pairwise_perturbation_tpu.ops.kernels import coo_pallas
+        if coo_pallas.coo_mttkrp_eligible(SHAPE, R, NNZ):
+            f_pl = jax.jit(lambda Ws: coo_pallas.coo_mttkrp(
+                idx, vals, list(Ws), 0))
+            np.testing.assert_allclose(
+                np.asarray(f_pl(Ws)),
+                np.asarray(f_full(Ws)), rtol=2e-3, atol=1e-1)
+            t = _time(lambda: f_pl(Ws))
+            out["mttkrp_pallas_ms"] = t * 1e3
+            out["mttkrp_pallas_roofline_frac"] = roofline_mttkrp_s / t
+            print(f"mttkrp[pallas]: {t*1e3:.3f} ms "
+                  f"({100*roofline_mttkrp_s/t:.1f}% of gather roofline)",
+                  flush=True)
+    except ImportError:
+        pass
 
     # --- full sweep + cache build (auto = one-hot singles)
     lam = jnp.asarray(0.0, dtype)
@@ -150,8 +198,9 @@ def main():
     np_mttkrp()
     t_np = time.perf_counter() - t0
     out["mttkrp_numpy_cpu_ms"] = t_np * 1e3
-    best = min(out["mttkrp_segment_ms"], out["mttkrp_onehot_ms"],
-               out["mttkrp_sorted_ms"])
+    best = min(v for k, v in out.items()
+               if k.startswith("mttkrp_") and k.endswith("_ms"))
+    out["mttkrp_best_ms"] = best
     out["mttkrp_vs_cpu"] = t_np * 1e3 / best
     print(f"numpy CPU mttkrp: {t_np*1e3:.1f} ms "
           f"({t_np*1e3/best:.1f}x slower than best TPU)", flush=True)
@@ -175,12 +224,18 @@ Gather-side traffic roofline: {out['mttkrp_traffic_MB']:.0f} MB
 |---|---|---|
 | segment_sum (round 4) | {out['mttkrp_segment_ms']:.2f} | {100*out['mttkrp_segment_roofline_frac']:.1f}% |
 | segment_sum, pre-sorted | {out['mttkrp_sorted_ms']:.2f} | {100*out['mttkrp_sorted_roofline_frac']:.1f}% |
-| one-hot MXU matmul | {out['mttkrp_onehot_ms']:.2f} | {100*out['mttkrp_onehot_roofline_frac']:.1f}% |
+| one-hot scatter (XLA) | {out['mttkrp_onehot_ms']:.2f} | {100*out['mttkrp_onehot_roofline_frac']:.1f}% |
+| all-one-hot (XLA) | {out.get('mttkrp_onehot_full_ms', float('nan')):.2f} | {100*out.get('mttkrp_onehot_full_roofline_frac', float('nan')):.1f}% |
+| fused Pallas (one-hots in VMEM) | {out.get('mttkrp_pallas_ms', float('nan')):.2f} | {100*out.get('mttkrp_pallas_roofline_frac', float('nan')):.1f}% |
 
-The one-hot path pays an extra {out['onehot_extra_traffic_MB']:.0f} MB
-(materialized (nnz, s) one-hot) but replaces the serialized scatter-add
-with a systolic matmul — `ops/sparse._scatter_rows` picks it
-automatically when the one-hot fits the HBM budget.
+TPU has no fast random access: segment_sum/gather run ~1 row/cycle on
+the VPU. The one-hot formulations move scatter (and gather) to the MXU;
+the XLA variants must materialize (nnz, s) one-hots in HBM
+({out['onehot_extra_traffic_MB']:.0f} MB each), the Pallas kernel
+(ops/kernels/coo_pallas.py) generates them tile-by-tile in VMEM where
+they cost nothing — its HBM traffic is indices + values + output only.
+`ops/sparse._scatter_rows` auto-picks the one-hot scatter for the
+engine's segment-style reductions.
 
 ## Engine-level numbers
 

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fitness import equal_fitness_times, final_row_fitness
+from fitness import (equal_fitness_times, final_row_fitness,
+                     improvement_times)
 
 OUT = "results/tucker_e2e.json"
 
@@ -63,8 +64,10 @@ def main():
 
     want = sys.argv[1:] or ["all"]
     cfgs = _configs()
-    names = list(cfgs) if "all" in want else [n for n in cfgs
-                                              if n in want]
+    names = list(cfgs) if "all" in want else \
+        [n for n in cfgs if any(n.startswith(w) or w in n for w in want)]
+    if not names:
+        raise SystemExit(f"no config matches {want}; have {list(cfgs)}")
     summary = {}
     if os.path.exists(OUT):
         summary = json.load(open(OUT))
@@ -95,6 +98,14 @@ def main():
                 t_dt, t_pp, target, rule = equal_fitness_times(
                     res_dt.history, res_pp.history)
                 speedup = (t_dt / t_pp) if (t_dt and t_pp) else None
+                # headline: time to cover 90% of the achievable fitness
+                # improvement — robust where HOSVD init sits within
+                # noise of the equal-fitness target (threshold-jitter
+                # "speedups" otherwise)
+                t_dt9, t_pp9, target9, degen = improvement_times(
+                    res_dt.history, res_pp.history, frac=0.9)
+                speedup90 = (t_dt9 / t_pp9) \
+                    if (t_dt9 and t_pp9 and not degen) else None
                 key = f"{name}_rt{rt}{qtag}"
                 summary[key] = dict(
                     shape=list(V.shape), ranks=list(ranks), restol=rt,
@@ -107,12 +118,17 @@ def main():
                     dt_total_dtime=float(res_dt.history[-1]["dtime"]),
                     pp_total_dtime=float(res_pp.history[-1]["dtime"]),
                     target_diffV=float(target), fitness_rule=rule,
-                    speedup=speedup)
+                    speedup=speedup,
+                    dt_time_to_90pct=t_dt9, pp_time_to_90pct=t_pp9,
+                    target_90pct=float(target9), degenerate=bool(degen),
+                    speedup90=speedup90)
                 print(f"  PP rt={rt}{qtag}: final "
                       f"{summary[key]['pp_final_diffV']:.6e} "
-                      f"target {target:.4e} ({rule}) "
-                      f"DT {t_dt} s PP {t_pp} s -> "
-                      f"speedup {speedup}", flush=True)
+                      f"target {target:.4e} ({rule}) speedup {speedup} "
+                      f"| 90%-improvement target {target9:.4e} "
+                      f"DT {t_dt9} s PP {t_pp9} s -> "
+                      f"speedup90 {speedup90}"
+                      f"{' DEGENERATE' if degen else ''}", flush=True)
                 json.dump(summary, open(OUT, "w"), indent=1,
                           sort_keys=True)
         del V
@@ -126,21 +142,32 @@ def main():
         "`_noskip` rows disable the skip for attribution). Identical "
         "deterministic HOSVD init; total equal-fitness rule "
         "(fitness.equal_fitness_times).", "",
-        "| config | ranks | restol | rule | DT time (s) | PP time (s) "
-        "| speedup | DT full (s) | PP full (s) |",
+        "| config | ranks | restol | DT t90 (s) | PP t90 (s) "
+        "| speedup (90% improvement) | equal-fitness speedup | "
+        "DT full (s) | PP full (s) |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
     for k in sorted(summary):
         e = summary[k]
-        sp_ = f"**{e['speedup']:.2f}x**" if e.get("speedup") else "n/a"
-        tdt = f"{e['dt_time_to_target']:.3f}" \
-            if e.get("dt_time_to_target") else "never"
-        tpp = f"{e['pp_time_to_target']:.3f}" \
-            if e.get("pp_time_to_target") else "never"
+        s9 = f"**{e['speedup90']:.2f}x**" if e.get("speedup90") \
+            else ("degenerate" if e.get("degenerate") else "n/a")
+        sp_ = f"{e['speedup']:.2f}x" if e.get("speedup") else "n/a"
+        t9d = f"{e['dt_time_to_90pct']:.3f}" \
+            if e.get("dt_time_to_90pct") else "never"
+        t9p = f"{e['pp_time_to_90pct']:.3f}" \
+            if e.get("pp_time_to_90pct") else "never"
         lines.append(
             f"| {k} | {'x'.join(map(str, e['ranks']))} | {e['restol']} "
-            f"| {e.get('fitness_rule', '?')} | {tdt} | {tpp} | {sp_} "
+            f"| {t9d} | {t9p} | {s9} | {sp_} "
             f"| {e['dt_total_dtime']:.3f} | {e['pp_total_dtime']:.3f} |")
+    lines += [
+        "", "`t90` = first time (diagnostics-excluded dtime) the "
+        "trajectory covers 90% of the shared achievable fitness "
+        "improvement (init -> worse final); robust where the HOSVD "
+        "init already sits within noise of the equal-fitness target. "
+        "`equal-fitness speedup` = the PP_WINS.md rule, shown for "
+        "comparability (threshold jitter where marked degenerate).",
+    ]
     with open("results/TUCKER_PP.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote results/TUCKER_PP.md")

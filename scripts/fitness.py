@@ -77,6 +77,36 @@ def equal_fitness_times(rows_a, rows_b, key="diffV", k=3, slack=1.001):
     return t_a, t_b, target, "monotone"
 
 
+def improvement_times(rows_a, rows_b, frac=0.9, key="diffV", k=3):
+    """Time for each run to cover ``frac`` of the SHARED achievable
+    fitness improvement: target = init - frac * (init - worse_final),
+    where init is the worse of the two starting values (identical inits
+    in practice) and worse_final the worse of the two final rows.
+
+    Robust where equal-fitness targets degenerate: runs whose init is
+    already near the final level (e.g. Tucker from an HOSVD init) put
+    the sustained/final-row target WITHIN NOISE OF THE START, so any
+    run "attains" at row 0 and the comparison measures threshold
+    jitter. Returns (t_a, t_b, target, degenerate) — ``degenerate`` is
+    True when the total improvement is < 0.1% of init (no fitness
+    progress to race over)."""
+    av = [r[key] for r in _finite(rows_a, key)]
+    bv = [r[key] for r in _finite(rows_b, key)]
+    if not av or not bv:
+        return None, None, float("inf"), True
+    init = max(av[0], bv[0])
+    final = max(av[-1], bv[-1])
+    degenerate = not (init > final and (init - final) > 1e-3 * init)
+    target = init - frac * (init - final)
+    t_a, _ = time_to_sustained(rows_a, target, key, k)
+    t_b, _ = time_to_sustained(rows_b, target, key, k)
+    if t_a is None:
+        t_a, _ = first_crossing(rows_a, target, key)
+    if t_b is None:
+        t_b, _ = first_crossing(rows_b, target, key)
+    return t_a, t_b, target, degenerate
+
+
 def time_to_sustained(rows, target, key="diffV", k=3):
     """(dtime, iter) of the first row of the first stretch where
     ``rows[key] <= target`` holds for >= ``k`` consecutive logged rows or

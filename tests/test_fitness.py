@@ -56,3 +56,20 @@ def test_monotone_fallback_is_total():
     assert abs(t_a - a[8]["dtime"]) < 1e-9
     assert abs(t_b - b[9]["dtime"]) < 1e-9
     assert t_a < t_b
+
+
+def test_improvement_times_robust_to_flat_runs():
+    from fitness import improvement_times
+    # genuine improvement race: a reaches 90% level first
+    a = _rows([100, 40, 20, 12, 11, 11, 11, 11])
+    b = _rows([100, 90, 70, 50, 30, 20, 12, 11])
+    t_a, t_b, target, degen = improvement_times(a, b)
+    assert not degen and t_a is not None and t_b is not None
+    assert t_a < t_b
+    # target = init - 0.9 * (init - worse_final) = 100 - 0.9*89 = 19.9
+    assert abs(target - 19.9) < 1e-9
+    # flat run (init ~= final): flagged degenerate, no fake speedups
+    c = _rows([100.0, 99.99, 99.98, 99.98])
+    d = _rows([100.0, 99.99, 99.99, 99.98])
+    _, _, _, degen2 = improvement_times(c, d)
+    assert degen2

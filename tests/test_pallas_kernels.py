@@ -194,3 +194,40 @@ def test_build_pp_caches_triple_matches_plain(rng):
         np.testing.assert_allclose(np.asarray(p_tri[k]),
                                    np.asarray(p_plain[k]),
                                    rtol=3e-5, atol=1e-4)
+
+
+def test_coo_mttkrp_pallas_matches_segment(rng):
+    """Fused one-hot COO MTTKRP kernel (ops/kernels/coo_pallas.py) ==
+    segment_sum oracle, every mode, interpret mode."""
+    from pairwise_perturbation_tpu.ops import sparse as spo
+    from pairwise_perturbation_tpu.ops.kernels import coo_pallas
+    shape, R, nnz = (37, 50, 29, 61), 5, 3000
+    idx = jnp.asarray(np.stack(
+        [rng.integers(0, s, nnz) for s in shape], 1).astype(np.int32))
+    vals = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
+    Ws = [jnp.asarray(rng.standard_normal((s, R)).astype(np.float32))
+          for s in shape]
+    st = spo.SparseTensor(idx, vals, shape)
+    for mode in range(len(shape)):
+        want = np.asarray(spo.mttkrp(st, Ws, mode, method="segment"))
+        got = np.asarray(coo_pallas.coo_mttkrp(idx, vals, Ws, mode,
+                                               block=512, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)
+
+
+def test_coo_mttkrp_pallas_nnz_padding(rng):
+    """nnz not a multiple of the block: padded entries (value 0) are
+    exact zeros through the matmuls."""
+    from pairwise_perturbation_tpu.ops import sparse as spo
+    from pairwise_perturbation_tpu.ops.kernels import coo_pallas
+    shape, R, nnz = (20, 31, 17), 4, 777   # 777 % 512 != 0
+    idx = jnp.asarray(np.stack(
+        [rng.integers(0, s, nnz) for s in shape], 1).astype(np.int32))
+    vals = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
+    Ws = [jnp.asarray(rng.standard_normal((s, R)).astype(np.float32))
+          for s in shape]
+    st = spo.SparseTensor(idx, vals, shape)
+    want = np.asarray(spo.mttkrp(st, Ws, 1, method="segment"))
+    got = np.asarray(coo_pallas.coo_mttkrp(idx, vals, Ws, 1,
+                                           block=512, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-3)

@@ -158,23 +158,26 @@ def test_pp_quiet_skip_semantics(rng):
     zeros = [jnp.zeros_like(w) for w in Ws]
 
     # reference sweep (quiet off)
-    Ws_ref, dWs_ref, _ = tucker.tucker_pp_sweep(
+    Ws_ref, dWs_ref, _, stat_ref = tucker.tucker_pp_sweep(
         single, pair, list(Ws), list(Ws), zeros, 0.0, 1, ranks=ranks)
     # age > 0 and dWs == 0 -> all modes quiet -> factors kept verbatim
-    Ws_q, dWs_q, _ = tucker.tucker_pp_sweep(
+    Ws_q, dWs_q, _, stat_q = tucker.tucker_pp_sweep(
         single, pair, list(Ws), list(Ws), zeros, 1e-3, 1, ranks=ranks)
     for w, wq in zip(Ws, Ws_q):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(wq))
+    # a fully-skipped sweep reports stationary (callers exit the phase)
+    assert bool(stat_q) and not bool(stat_ref)
     # the reference sweep DOES move the factors (skip is a real change)
     moved = sum(float(jnp.linalg.norm(a - b))
                 for a, b in zip(Ws_ref, Ws))
     assert moved > 1e-4
     # age == 0: first sweep after a build always extracts
-    Ws_a0, _, _ = tucker.tucker_pp_sweep(
+    Ws_a0, _, _, stat_a0 = tucker.tucker_pp_sweep(
         single, pair, list(Ws), list(Ws), zeros, 1e-3, 0, ranks=ranks)
     for a, b in zip(Ws_a0, Ws_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+    assert not bool(stat_a0)
 
 
 def test_pp_quiet_skip_fitness_parity(rng):
