@@ -58,8 +58,14 @@ class TuckerConfig:
     # factors have all drifted < pp_quiet_frac * tol_init (relative
     # norm) since the cache build keeps its factor without recomputing
     # the corrected TTMc or the extraction (see tucker_pp_sweep).
-    # 0 disables (reference semantics: every mode, every sweep).
-    pp_quiet_frac: float = 0.1
+    # DEFAULT 0 = OFF (reference semantics): measured on coil-100 the
+    # skip STALLS PP's compounding progress — skipped modes freeze dW,
+    # frozen dW keeps every mode quiet, and the phase goes stationary
+    # after ~1 useful sweep (2.7x time-to-90%-fitness vs 48x with the
+    # skip off; results/TUCKER_PP.md). The PP-auto warm extraction
+    # (PP_AUTO_SUBSPACE_*) is what makes PP sweeps cheap; the skip is
+    # kept as an opt-in knob with the stationarity exit guarding it.
+    pp_quiet_frac: float = 0.0
     # ShardedLayout of a -mesh run (host-side only; see cp.CPConfig) —
     # the fused machine pins TTMc cache shardings from it.
     mesh_layout: object = None

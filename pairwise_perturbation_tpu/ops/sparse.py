@@ -79,6 +79,36 @@ def norm_sq(st: SparseTensor):
     return jnp.dot(st.values, st.values, preferred_element_type=acc)
 
 
+# Scatter/gather strategy for the sparse kernels. TPU scatter-adds
+# (segment_sum) and row gathers serialize on the vector unit; the
+# MXU-native alternative is a ONE-HOT MATMUL — M = E^T @ prod for the
+# scatter, rows = E @ W for gathers (exact: single product per output).
+# The one-hot is materialized (nnz * s elements) in the XLA path, so it
+# only pays off while nnz * s stays HBM-friendly; above the budget we
+# fall back to the native ops.
+ONEHOT_BUDGET_ELEMS = 2 * 10**9  # ~2 GB at f32 ones; plenty for 1.6M x 200
+
+
+def _gather_rows(W, idx, method: str = "auto"):
+    """W[idx, :] — factor-row gather, MXU one-hot matmul when it fits.
+
+    TPU native gathers run ~1 row/cycle on the VPU (measured ~2.6 ms per
+    1.6M-row gather on v5e); the one-hot matmul E @ W computes the SAME
+    rows EXACTLY (each output element is a single product 1.0 * W[i, r]
+    at HIGHEST precision — no summation, no rounding) on the systolic
+    array. results/SPARSE_PERF.md has the measurements."""
+    n, s = idx.shape[0], W.shape[0]
+    if method == "auto":
+        method = "onehot" if n * s <= ONEHOT_BUDGET_ELEMS else "native"
+    if method == "onehot":
+        E = (idx[:, None] == jnp.arange(s, dtype=idx.dtype)[None, :])
+        return jax.lax.dot_general(
+            E.astype(W.dtype), W, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=W.dtype)
+    return W[idx, :]
+
+
 def _gathered_kr(st: SparseTensor, Ws: Sequence, skip: Tuple[int, ...]):
     """values * prod_{j not in skip} W_j[idx_j, :]  -> (nnz, R)."""
     R = Ws[0].shape[1]
@@ -86,18 +116,8 @@ def _gathered_kr(st: SparseTensor, Ws: Sequence, skip: Tuple[int, ...]):
     for j in range(st.ndim):
         if j in skip:
             continue
-        prod = prod * Ws[j][st.indices[:, j], :]
+        prod = prod * _gather_rows(Ws[j], st.indices[:, j])
     return prod
-
-
-# Scatter strategy for the sparse reductions. TPU scatter-adds
-# (segment_sum with random indices) serialize on the vector unit; the
-# MXU-native alternative is a ONE-HOT MATMUL: M = E^T @ prod with
-# E[n, i] = 1[idx_n == i] — 2 * nnz * s * R FLOPs on the systolic array
-# instead of nnz serialized row-updates. The one-hot is materialized
-# (nnz * s elements), so it only pays off while nnz * s stays
-# HBM-friendly; above the budget we fall back to segment_sum.
-ONEHOT_BUDGET_ELEMS = 2 * 10**9  # ~2 GB at f32 ones; plenty for 1.6M x 200
 
 
 def _scatter_rows(prod, idx, n_segments: int, method: str = "auto"):
@@ -170,7 +190,7 @@ def build_pp_caches(st: SparseTensor, Ws: Sequence):
     r3 missing #1)."""
     order = st.ndim
     R = Ws[0].shape[1]
-    rows = [Ws[j][st.indices[:, j], :] for j in range(order)]
+    rows = [_gather_rows(Ws[j], st.indices[:, j]) for j in range(order)]
     ones = jnp.ones((st.nnz, R), Ws[0].dtype)
     prefix = [st.values[:, None] * ones]          # prefix[k]: v * prod_{j<k}
     for k in range(order):
@@ -233,7 +253,7 @@ def ttm_dense(st: SparseTensor, W, mode: int, rank_last: bool = False):
     fused = jnp.zeros((st.nnz,), jnp.int32)
     for m in others:
         fused = fused * st.shape[m] + st.indices[:, m].astype(jnp.int32)
-    vals = st.values[:, None] * W[st.indices[:, mode], :]   # (nnz, r)
+    vals = st.values[:, None] * _gather_rows(W, st.indices[:, mode])
     n_seg = int(np.prod([st.shape[m] for m in others]))
     flat = _scatter_rows(vals, fused, n_seg)
     out = flat.reshape(tuple(st.shape[m] for m in others) + (r,))

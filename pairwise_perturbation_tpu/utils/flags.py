@@ -73,13 +73,15 @@ def build_parser(prog: str = "pairwise_perturbation_tpu") -> argparse.ArgumentPa
                         "(reference semantics), >0 = that many subspace "
                         "iterations (~5x faster extraction; inexact, "
                         "self-correcting across sweeps)")
-    p.add_argument("-tucker_pp_skip", type=float, default=0.1,
-                   help="Tucker PP quiet-mode extraction skip: a mode "
+    p.add_argument("-tucker_pp_skip", type=float, default=0.0,
+                   help="Tucker PP quiet-mode extraction skip (opt-in; "
+                        "default 0 = off, reference semantics): a mode "
                         "whose other factors all drifted < this fraction "
                         "of pp_res_tol since the cache build keeps its "
                         "factor without recomputing the corrected TTMc "
-                        "or the eigh (0 = reference semantics: every "
-                        "mode, every sweep)")
+                        "or the eigh. Measured NEGATIVE on coil "
+                        "(stalls PP's compounding progress, "
+                        "results/TUCKER_PP.md)")
     p.add_argument("-msdt_min_holdout", type=int, default=0,
                    help="MSDT(-LR): restrict the hold-out rotation to "
                         "modes of size >= this (0 = reference semantics). "

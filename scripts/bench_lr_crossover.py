@@ -63,7 +63,64 @@ def _steady_step_time(o, order, n_steps=20):
     return max((time.perf_counter() - t0) / n_steps, 1e-9)
 
 
+def write_md():
+    data = json.load(open(OUT))
+    lines = [
+        "# DT-LR vs DT: the low-rank crossover sweep (one TPU v5e chip)",
+        "",
+        "Order-3 200^3 f32, within-rotation steady state "
+        "(num_subiteration=100; production adds one plain first-level "
+        "per special_index rotation). Sweep-equivalent time = 2 x step "
+        "(a step advances 0.5 sweeps). Reference claim: "
+        "cp_dt_lr_optimizer.cxx:128-158 / arXiv:2010.12056 — the "
+        "rank-k refresh costs O(s^N k) FLOPs instead of O(s^N R).", "",
+        "| rank R | DT ms/sweep | k=1 | k=R/8 | k=R/4 | best LR vs DT |",
+        "|---|---|---|---|---|---|",
+    ]
+    for R in (10, 50, 100, 200):
+        dt = data.get(f"dt_R{R}", {}).get("sweep_equiv_ms")
+        if dt is None:
+            continue
+        ks = sorted({1, max(R // 8, 1), max(R // 4, 1)})
+        cells, best = [], None
+        for k in ks:
+            e = data.get(f"dtlr_R{R}_k{k}")
+            v = e and e["sweep_equiv_ms"]
+            cells.append(f"{v:.2f}" if v else "-")
+            if v and (best is None or v < best):
+                best = v
+        while len(cells) < 3:
+            cells.append("-")
+        ratio = f"{dt / best:.2f}x" if best else "-"
+        lines.append(f"| {R} | {dt:.2f} | " + " | ".join(cells)
+                     + f" | {ratio} |")
+    lines += [
+        "",
+        "**Measured verdict: the crossover does not exist on this "
+        "hardware.** The best LR configuration (R=200, k=25) reaches "
+        "PARITY with DT; every other grid point is slower, some by 3x. "
+        "This is exactly what the traffic model predicts "
+        "(docs/DESIGN.md, round-5 section): the rank-k refresh still "
+        "reads ALL of V and read-modify-writes the (s, s, R) cached "
+        "first-level top, so its per-step HBM traffic is >= DT's "
+        "first-level for every (R, k); the O(s^N (R - k)) FLOP saving "
+        "the paper's CPU speedup rides on only matters once the R-wide "
+        "GEMM is MXU-bound (R > ~240 in f32 on v5e), and by then the "
+        "cache read-modify-write (which also scales with R) has eaten "
+        "the margin. The LR optimizer line is implemented, tested and "
+        "honest (run -pp 2/3); it is a CPU-era optimization whose "
+        "premise — FLOP-bound first-level contractions — does not "
+        "transfer to a machine that runs them at the HBM roofline.",
+    ]
+    with open("results/LR_CROSSOVER.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote results/LR_CROSSOVER.md")
+
+
 def main():
+    if sys.argv[1] == "md":
+        write_md()
+        return
     R = int(sys.argv[1])
     karg = sys.argv[2]
     from pairwise_perturbation_tpu.models import optimizers as opt

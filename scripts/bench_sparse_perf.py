@@ -16,7 +16,12 @@ the shape class bench.py reports as sparse200_4_nnz1.6M):
    at the v5e HBM peak — how far each kernel sits from speed-of-light.
 
 Writes results/sparse_perf.json + results/SPARSE_PERF.md.
-Run on the TPU: python scripts/bench_sparse_perf.py
+Run on the TPU (loaded executables stay resident for the process
+lifetime through the relay, so the dense comparison gets its own
+process):
+    python scripts/bench_sparse_perf.py kernels
+    python scripts/bench_sparse_perf.py dense
+    python scripts/bench_sparse_perf.py md
 """
 
 import json
@@ -55,6 +60,7 @@ def _time(fn, n=20):
 
 
 def main():
+    part = sys.argv[1] if len(sys.argv) > 1 else "all"
     dtype = jnp.float32
     kidx = jax.random.PRNGKey(11)
     idx = jnp.stack(
@@ -68,6 +74,8 @@ def main():
 
     out = dict(shape=list(SHAPE), nnz=NNZ, rank=R, dtype="float32",
                hbm_peak_GBps=HBM_GBPS)
+    if os.path.exists("results/sparse_perf.json"):
+        out.update(json.load(open("results/sparse_perf.json")))
 
     # --- traffic roofline for ONE mttkrp (gather-side; the scatter
     # output s*R is negligible). idx columns actually read: all N (one
@@ -80,7 +88,8 @@ def main():
     out["onehot_extra_traffic_MB"] = NNZ * SHAPE[0] * 4 / 1e6
 
     # --- per-mode MTTKRP, three strategies
-    for method in ("segment", "onehot"):
+    run_kernels = part in ("all", "kernels")
+    for method in (("segment", "onehot") if run_kernels else ()):
         f = jax.jit(lambda Ws, m=0, method=method:
                     sp.mttkrp(st, list(Ws), m, method=method))
         t = _time(lambda: f(Ws))
@@ -102,11 +111,12 @@ def main():
                                    num_segments=SHAPE[0],
                                    indices_are_sorted=True)
 
-    f_sorted = jax.jit(mttkrp_sorted)
-    t = _time(lambda: f_sorted(Ws))
-    out["mttkrp_sorted_ms"] = t * 1e3
-    out["mttkrp_sorted_roofline_frac"] = roofline_mttkrp_s / t
-    print(f"mttkrp[sorted]: {t*1e3:.3f} ms", flush=True)
+    if run_kernels:
+        f_sorted = jax.jit(mttkrp_sorted)
+        t = _time(lambda: f_sorted(Ws))
+        out["mttkrp_sorted_ms"] = t * 1e3
+        out["mttkrp_sorted_roofline_frac"] = roofline_mttkrp_s / t
+        print(f"mttkrp[sorted]: {t*1e3:.3f} ms", flush=True)
 
     # full one-hot: GATHERS as MXU matmuls too (E_j @ W_j) — the
     # all-matmul formulation whose own roofline is the materialized
@@ -123,22 +133,25 @@ def main():
         return jnp.matmul(E0.T, prod, precision=HI)
 
     f_full = jax.jit(mttkrp_onehot_full)
-    np.testing.assert_allclose(
+    if run_kernels:
+        np.testing.assert_allclose(
         np.asarray(f_full(Ws)),
         np.asarray(jax.jit(lambda Ws: sp.mttkrp(st, list(Ws), 0,
                                                 method="segment"))(Ws)),
-        rtol=2e-3, atol=1e-1)   # f32 summation-order noise over 8k-term sums
-    t = _time(lambda: f_full(Ws))
-    out["mttkrp_onehot_full_ms"] = t * 1e3
-    out["mttkrp_onehot_full_roofline_frac"] = roofline_mttkrp_s / t
-    out["onehot_full_own_roofline_ms"] = \
-        4 * NNZ * SHAPE[0] * 4 / (HBM_GBPS * 1e9) * 1e3
-    print(f"mttkrp[onehot_full]: {t*1e3:.3f} ms "
-          f"(own one-hot-traffic roofline "
-          f"{out['onehot_full_own_roofline_ms']:.2f} ms)", flush=True)
+            rtol=2e-3, atol=1e-1)  # f32 summation-order noise (8k-term sums)
+        t = _time(lambda: f_full(Ws))
+        out["mttkrp_onehot_full_ms"] = t * 1e3
+        out["mttkrp_onehot_full_roofline_frac"] = roofline_mttkrp_s / t
+        out["onehot_full_own_roofline_ms"] = \
+            4 * NNZ * SHAPE[0] * 4 / (HBM_GBPS * 1e9) * 1e3
+        print(f"mttkrp[onehot_full]: {t*1e3:.3f} ms "
+              f"(own one-hot-traffic roofline "
+              f"{out['onehot_full_own_roofline_ms']:.2f} ms)", flush=True)
 
     # Pallas fused kernel (one-hots generated in VMEM, never touch HBM)
     try:
+        if not run_kernels:
+            raise ImportError
         from pairwise_perturbation_tpu.ops.kernels import coo_pallas
         if coo_pallas.coo_mttkrp_eligible(SHAPE, R, NNZ):
             f_pl = jax.jit(lambda Ws: coo_pallas.coo_mttkrp(
@@ -157,32 +170,40 @@ def main():
 
     # --- full sweep + cache build (auto = one-hot singles)
     lam = jnp.asarray(0.0, dtype)
-    sweep = jax.jit(lambda Ws: spm.sparse_simple_sweep(st, list(Ws), lam,
-                                                       solver="svd"))
-    t_sweep = _time(lambda: sweep(Ws), n=10)
-    out["sweep_auto_ms"] = t_sweep * 1e3
-    build = jax.jit(lambda Ws: spm.sparse_pp_build_caches(st, list(Ws)))
-    t_build = _time(lambda: build(Ws), n=5)
-    out["cache_build_auto_ms"] = t_build * 1e3
-    print(f"sweep(auto): {t_sweep*1e3:.2f} ms  "
-          f"cache build(auto): {t_build*1e3:.2f} ms", flush=True)
+    if run_kernels:
+        sweep = jax.jit(lambda Ws: spm.sparse_simple_sweep(
+            st, list(Ws), lam, solver="svd"))
+        t_sweep = _time(lambda: sweep(Ws), n=10)
+        out["sweep_auto_ms"] = t_sweep * 1e3
+        build = jax.jit(lambda Ws: spm.sparse_pp_build_caches(
+            st, list(Ws)))
+        t_build = _time(lambda: build(Ws), n=5)
+        out["cache_build_auto_ms"] = t_build * 1e3
+        print(f"sweep(auto): {t_sweep*1e3:.2f} ms  "
+              f"cache build(auto): {t_build*1e3:.2f} ms", flush=True)
 
-    # --- dense engine on the SAME tensor
-    from pairwise_perturbation_tpu.models import cp
-    Vd = sp.to_dense(st)
-    _pull(Vd)
-    dsweep = jax.jit(lambda Ws: cp.dt_sweep(Vd, list(Ws), lam,
-                                            solver="svd"))
-    t_dense = _time(lambda: dsweep(Ws), n=5)
-    out["dense_dt_sweep_ms"] = t_dense * 1e3
-    out["sweep_vs_dense"] = t_dense / t_sweep
-    dense_bytes = int(np.prod(SHAPE)) * 4 * 2  # ~2 V passes per sweep
-    out["dense_roofline_ms"] = dense_bytes / (HBM_GBPS * 1e9) * 1e3
-    print(f"dense dt_sweep on same tensor: {t_dense*1e3:.2f} ms "
-          f"(sparse is {t_dense/t_sweep:.1f}x faster)", flush=True)
-    del Vd
+    # --- dense engine on the SAME tensor (own process: the 6.4 GB
+    # densified V + the kernel executables don't fit together)
+    if part in ("all", "dense"):
+        from pairwise_perturbation_tpu.models import cp
+        Vd = sp.to_dense(st)
+        _pull(Vd)
+        dsweep = jax.jit(lambda Ws: cp.dt_sweep(Vd, list(Ws), lam,
+                                                solver="svd"))
+        t_dense = _time(lambda: dsweep(Ws), n=5)
+        out["dense_dt_sweep_ms"] = t_dense * 1e3
+        out["sweep_vs_dense"] = t_dense * 1e3 / out["sweep_auto_ms"]
+        dense_bytes = int(np.prod(SHAPE)) * 4 * 2  # ~2 V passes/sweep
+        out["dense_roofline_ms"] = dense_bytes / (HBM_GBPS * 1e9) * 1e3
+        print(f"dense dt_sweep on same tensor: {t_dense*1e3:.2f} ms "
+              f"(sparse is {out['sweep_vs_dense']:.1f}x faster)",
+              flush=True)
+        del Vd
 
     # --- numpy CPU baseline (gather + np.add.at), one mttkrp
+    if part == "md":
+        _write_md(out)
+        return
     idx_h = np.asarray(idx)
     vals_h = np.asarray(vals)
     Ws_h = [np.asarray(w) for w in Ws]
@@ -209,7 +230,10 @@ def main():
     with open("results/sparse_perf.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+    _write_md(out)
 
+
+def _write_md(out):
     md = f"""# Sparse engine performance (one TPU v5e chip)
 
 Fixture: order-4 {'x'.join(map(str, SHAPE))}, nnz = {NNZ:,}, rank {R},
