@@ -63,7 +63,7 @@ def coo_mttkrp_eligible(shape: Sequence[int], R: int, nnz: int,
 
 
 def _kernel(idxT_ref, vals_ref, *rest, order: int, mode: int,
-            Rp: int, sp: int, block: int):
+            Rp: int, sp: int, block: int, precision):
     W_refs = rest[:order]
     out_ref = rest[order]
     i = pl.program_id(0)
@@ -78,15 +78,13 @@ def _kernel(idxT_ref, vals_ref, *rest, order: int, mode: int,
         Ej = (iota_sB == idx_blk[j, :][None, :]).astype(jnp.float32)
         # HIGHEST: default TPU matmul precision would round the f32
         # factor rows / products through bf16 passes
-        Gj = jnp.dot(W_refs[j][:, :], Ej,
-                     precision=jax.lax.Precision.HIGHEST,
+        Gj = jnp.dot(W_refs[j][:, :], Ej, precision=precision,
                      preferred_element_type=jnp.float32)   # (Rp, B)
         prod = prod * Gj
     # scatter: acc += P @ E_mode^T, E_mode^T (B, sp)
     iota_Bs = jax.lax.broadcasted_iota(jnp.int32, (block, sp), 1)
     E0T = (iota_Bs == idx_blk[mode, :][:, None]).astype(jnp.float32)
-    contrib = jnp.dot(prod, E0T,
-                      precision=jax.lax.Precision.HIGHEST,
+    contrib = jnp.dot(prod, E0T, precision=precision,
                       preferred_element_type=jnp.float32)  # (Rp, sp)
 
     @pl.when(i == 0)
@@ -97,9 +95,10 @@ def _kernel(idxT_ref, vals_ref, *rest, order: int, mode: int,
 
 
 @partial(jax.jit,
-         static_argnames=("mode", "block", "interpret"))
+         static_argnames=("mode", "block", "interpret", "precision"))
 def coo_mttkrp(indices, values, Ws, mode: int,
-               block: int = DEFAULT_BLOCK, interpret: bool = False):
+               block: int = DEFAULT_BLOCK, interpret: bool = False,
+               precision=jax.lax.Precision.HIGHEST):
     """Sparse MTTKRP M[i, r] = sum_nnz v * prod_{j != mode} W_j[idx_j, r]
     via the fused one-hot-matmul kernel. Returns (s_mode, R) f32."""
     order = indices.shape[1]
@@ -134,7 +133,7 @@ def coo_mttkrp(indices, values, Ws, mode: int,
          for _ in range(order)]
     out = pl.pallas_call(
         partial(_kernel, order=order, mode=mode, Rp=Rp, sp=sp,
-                block=block),
+                block=block, precision=precision),
         out_shape=jax.ShapeDtypeStruct((Rp, sp), jnp.float32),
         grid=grid,
         in_specs=in_specs,

@@ -165,6 +165,8 @@ def main():
             print(f"mttkrp[pallas]: {t*1e3:.3f} ms "
                   f"({100*roofline_mttkrp_s/t:.1f}% of gather roofline)",
                   flush=True)
+            # (a 3-pass HIGH-precision variant was tried: Mosaic
+            # rejects dot precision HIGH — HIGHEST and DEFAULT only)
     except ImportError:
         pass
 
