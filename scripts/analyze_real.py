@@ -206,25 +206,32 @@ def main():
                       f"{r['pp_last_row']:.4e} |")
     md += [
         "",
-        "### Findings (round 4)",
+        "### Findings (round 5)",
         "",
         "CP: PP beats DT on all eight configs (1.5-3.1x) under the "
         "sustained rule — the round-3 instability artifacts are gone "
         "(solver guards + refined f32 solves), so every trajectory "
         "plateaus monotonically and the comparison is clean.",
         "",
-        "Tucker: the coil comparison is an honest PP LOSS (0.57x) with "
-        "a structural cause: on coil the Tucker sweep cost is "
-        "EXTRACTION-dominated, not contraction-dominated — the "
-        "(7200, 70) factor update's subspace extraction costs ~5.9 ms "
-        "of the 5.9-10.4 ms sweep, and PP only accelerates the TTMc "
-        "part (PP sweep 5.8 ms vs DT-auto 5.9 ms: nothing left to "
-        "save). The time-lapse Tucker rows are degenerate for the "
-        "opposite reason: at ranks (10,100,100,5) the HOSVD init is "
-        "already below the CPU baseline's final fitness, so DT "
-        "converges in ~1 sweep and a time ratio is meaningless. Both "
-        "are properties of the reference's own benchmark ranks, not "
-        "implementation gaps.",
+        "Tucker: DO NOT read the Tucker PP-vs-DT rows above as a "
+        "controlled comparison — the grid runs each engine once per "
+        "process and the FIRST engine executed carries ~8 ms/sweep of "
+        "one-time relay dispatch overhead (the pp0 run goes first, so "
+        "these rows flatter PP). The controlled, warm-run comparison "
+        "is results/TUCKER_PP.md, and its verdict is that Tucker PP "
+        "LOSES on time-to-fitness (0.3-0.8x at the 90%-improvement "
+        "level): Tucker-ALS from an HOSVD init covers 90% of its "
+        "achievable improvement in ~10 roofline-speed DT sweeps "
+        "(~30 ms total race on coil), and PP's own DT-preconditioner "
+        "phases plus a cache build consume that runway before its "
+        "cheap sweeps can pay. Round 5 still made the PP sweeps "
+        "~1.5x faster (PP-auto warm subspace extraction) — the loss "
+        "is structural (the short race), not implementation. The "
+        "time-lapse Tucker rows are additionally degenerate: at ranks "
+        "(10,100,100,5) the HOSVD init is already below the CPU "
+        "baseline final fitness, so DT converges in ~1 sweep. All of "
+        "this is a property of the reference's own benchmark ranks "
+        "on this hardware class, not an implementation gap.",
     ]
     md.append("")
     with open(os.path.join(RESULTS, "REAL_DATA.md"), "w") as f:

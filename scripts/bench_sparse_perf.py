@@ -221,8 +221,9 @@ def main():
     np_mttkrp()
     t_np = time.perf_counter() - t0
     out["mttkrp_numpy_cpu_ms"] = t_np * 1e3
-    best = min(v for k, v in out.items()
-               if k.startswith("mttkrp_") and k.endswith("_ms"))
+    kernels = ("segment", "sorted", "onehot", "onehot_full", "pallas")
+    best = min(out[f"mttkrp_{k}_ms"] for k in kernels
+               if f"mttkrp_{k}_ms" in out)
     out["mttkrp_best_ms"] = best
     out["mttkrp_vs_cpu"] = t_np * 1e3 / best
     print(f"numpy CPU mttkrp: {t_np*1e3:.1f} ms "
@@ -236,6 +237,11 @@ def main():
 
 
 def _write_md(out):
+    needed = ("mttkrp_segment_ms", "dense_dt_sweep_ms", "sweep_auto_ms",
+              "mttkrp_numpy_cpu_ms")
+    if any(k not in out for k in needed):
+        print("md skipped: missing keys (run the other parts first)")
+        return
     md = f"""# Sparse engine performance (one TPU v5e chip)
 
 Fixture: order-4 {'x'.join(map(str, SHAPE))}, nnz = {NNZ:,}, rank {R},
