@@ -69,9 +69,17 @@ def from_dense(V, tol: float = 0.0) -> SparseTensor:
     return SparseTensor(jnp.asarray(idx), jnp.asarray(vals), Vh.shape)
 
 
+@partial(jax.jit, donate_argnums=0)
+def _scatter_dense(out, indices, values):
+    return out.at[tuple(indices.T)].add(values)
+
+
 def to_dense(st: SparseTensor):
-    out = jnp.zeros(st.shape, st.dtype)
-    return out.at[tuple(st.indices.T)].add(st.values)
+    # donated zeros buffer: the scatter updates in place instead of
+    # allocating input + output copies (2x the dense size — OOMs the
+    # chip for HBM-scale tensors like the 6.4 GB 200^4 bench fixture)
+    return _scatter_dense(jnp.zeros(st.shape, st.dtype),
+                          st.indices, st.values)
 
 
 def norm_sq(st: SparseTensor):

@@ -190,9 +190,11 @@ def main():
         from pairwise_perturbation_tpu.models import cp
         Vd = sp.to_dense(st)
         _pull(Vd)
-        dsweep = jax.jit(lambda Ws: cp.dt_sweep(Vd, list(Ws), lam,
-                                                solver="svd"))
-        t_dense = _time(lambda: dsweep(Ws), n=5)
+        # V as an ARGUMENT, not a closure: a captured 6.4 GB constant
+        # gets baked into the executable and OOMs the chip
+        dsweep = jax.jit(lambda V, Ws: cp.dt_sweep(V, list(Ws), lam,
+                                                   solver="svd"))
+        t_dense = _time(lambda: dsweep(Vd, Ws), n=5)
         out["dense_dt_sweep_ms"] = t_dense * 1e3
         out["sweep_vs_dense"] = t_dense * 1e3 / out["sweep_auto_ms"]
         dense_bytes = int(np.prod(SHAPE)) * 4 * 2  # ~2 V passes/sweep
@@ -254,14 +256,16 @@ Gather-side traffic roofline: {out['mttkrp_traffic_MB']:.0f} MB
 
 | kernel | ms / MTTKRP | % of roofline |
 |---|---|---|
-| segment_sum (round 4) | {out['mttkrp_segment_ms']:.2f} | {100*out['mttkrp_segment_roofline_frac']:.1f}% |
+| segment_sum scatter (one-hot gathers) | {out['mttkrp_segment_ms']:.2f} | {100*out['mttkrp_segment_roofline_frac']:.1f}% |
 | segment_sum, pre-sorted | {out['mttkrp_sorted_ms']:.2f} | {100*out['mttkrp_sorted_roofline_frac']:.1f}% |
 | one-hot scatter (XLA) | {out['mttkrp_onehot_ms']:.2f} | {100*out['mttkrp_onehot_roofline_frac']:.1f}% |
 | all-one-hot (XLA) | {out.get('mttkrp_onehot_full_ms', float('nan')):.2f} | {100*out.get('mttkrp_onehot_full_roofline_frac', float('nan')):.1f}% |
 | fused Pallas (one-hots in VMEM) | {out.get('mttkrp_pallas_ms', float('nan')):.2f} | {100*out.get('mttkrp_pallas_roofline_frac', float('nan')):.1f}% |
 
-TPU has no fast random access: segment_sum/gather run ~1 row/cycle on
-the VPU. The one-hot formulations move scatter (and gather) to the MXU;
+Round 4's all-native path (segment_sum scatter + native gathers) was
+20.8 ms — 1.3% of roofline; every row above already benefits from the
+round-5 one-hot gathers. TPU has no fast random access: segment_sum
+and row gathers run ~1 row/cycle on the VPU. The one-hot formulations move scatter (and gather) to the MXU;
 the XLA variants must materialize (nnz, s) one-hots in HBM
 ({out['onehot_extra_traffic_MB']:.0f} MB each), the Pallas kernel
 (ops/kernels/coo_pallas.py) generates them tile-by-tile in VMEM where
