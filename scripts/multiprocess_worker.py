@@ -106,6 +106,21 @@ def main():
                                dWs, lam, np.float32(1.0))
     gn = contract.cp_gradnorm(V, list(Ws2), regul=lam)
 
+    # --- sparse engine across the SAME process boundary: nnz-sharded
+    # COO with shard_map partial MTTKRP + psum (the collectives cross
+    # real processes here, not virtual devices)
+    from pairwise_perturbation_tpu.ops import sparse as spo
+    rngs = np.random.default_rng(13)
+    Vh = np.zeros(shape, np.float32)
+    nnz = shape[0] * shape[1] * 4
+    flat = rngs.choice(Vh.size, size=nnz, replace=False)
+    Vh.ravel()[flat] = rngs.standard_normal(nnz)
+    mesh1d = pmesh.make_mesh(devices=devs)
+    st = pmesh.shard_coo(spo.from_dense(Vh), mesh1d)
+    Wsp = cp.init_factors(shape, R, key=jax.random.PRNGKey(3),
+                          dtype=np.float32)
+    M_sp = pmesh.sharded_sparse_mttkrp(st, Wsp, 0, mesh1d)
+
     # --- gather: full global value on every process, padding stripped
     # (a jitted identity re-sharded to replicated = one XLA all-gather
     # over the global mesh; the result is addressable everywhere)
@@ -123,6 +138,7 @@ def main():
     for m in range(len(shape)):
         out[f"cache_single_{m}"] = full(single[m])[:layout.padded_shape[m]]
     out["gradnorm"] = full(gn)
+    out["sparse_mttkrp"] = full(M_sp)
     out["process_count"] = np.asarray(jax.process_count())
     out["n_devices"] = np.asarray(len(devs))
 

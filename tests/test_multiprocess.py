@@ -127,3 +127,15 @@ def test_gradnorm_parity_and_processes_agree(results):
     # the two processes of the SAME cluster must agree exactly
     np.testing.assert_array_equal(r2[0]["gradnorm"], r2[1]["gradnorm"])
     np.testing.assert_array_equal(r1["gradnorm"], r2[0]["gradnorm"])
+
+
+def test_sparse_mttkrp_parity_across_process_counts(results):
+    """The nnz-sharded sparse MTTKRP (shard_map partials + psum) crosses
+    the REAL process boundary and matches the single-process value —
+    extends the bitwise-parity claim to the sparse engine."""
+    r1, r2 = results
+    np.testing.assert_array_equal(r2[0]["sparse_mttkrp"],
+                                  r2[1]["sparse_mttkrp"])
+    np.testing.assert_allclose(r1["sparse_mttkrp"],
+                               r2[0]["sparse_mttkrp"],
+                               rtol=1e-6, atol=1e-8)
