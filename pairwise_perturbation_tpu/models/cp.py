@@ -492,6 +492,7 @@ def _dt_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq):
             gn, diffV, dtime = _diag_and_log(
                 V_norm_sq, V, Ws, lam, clock, plot, it, cfg.tol, 0,
                 state["history"])
+            state["last_logged"] = it
             state["gradnorm"], state["diffV"] = gn, diffV
             if gn < cfg.tol:
                 return Ws, dWs, "converged"
@@ -564,8 +565,12 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
                         > max(5.0 * cfg.pp_res_tol, 0.5):
                     # discard the blown sweep and restart from the last
                     # healthy iterate; the discarded sweep must not
-                    # consume an iteration of the maxiter budget
-                    state["iter"] = it - 1
+                    # consume an iteration of the maxiter budget —
+                    # EXCEPT when its iteration number was already
+                    # logged (rewinding then would re-log the same
+                    # iter with different values: duplicate CSV rows)
+                    if state.get("last_logged") != it - 1:
+                        state["iter"] = it - 1
                     return Ws_pre, dWs_pre, "restart"
                 gn_floor = min(gn_floor, gn_est)
             else:
@@ -593,6 +598,7 @@ def _pp_sub(V, Ws, dWs, cfg: CPConfig, plot, clock, state, V_norm_sq,
             gn, diffV, dtime = _diag_and_log(
                 V_norm_sq, V, Ws, lam, clock, plot, it, cfg.tol, 1,
                 state["history"])
+            state["last_logged"] = it
             state["gradnorm"], state["diffV"] = gn, diffV
             if gn < cfg.tol:
                 return Ws, dWs, "converged"

@@ -513,8 +513,9 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
     init_iter = state["iter"]
     W_init = None
     single = pair = None
-    from pairwise_perturbation_tpu.models.cp import factor_norm_ratios, \
-        warm_compile
+    from pairwise_perturbation_tpu.models.cp import (_host_pull,
+                                                     factor_norm_ratios,
+                                                     warm_compile)
     if not state.get("pp_warmed"):
         # one-time per solve; the warm build is reused as the first
         # in-loop build (factors unchanged in between) — see models/cp.py
@@ -568,7 +569,11 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
             subspace_iters=cfg.subspace_iters, ranks=ranks)
         state["core"] = core
         state["iter"] = it + 1
-        if bool(stationary):
+        # cfg.pp_quiet_frac == 0 (default): stationary is statically
+        # False — short-circuit so the default path never pays this
+        # extra device sync inside the timed loop (an uncalibrated
+        # blocking pull costs a full relay RTT)
+        if cfg.pp_quiet_frac and bool(_host_pull(clock, stationary)):
             # every mode quiet-skipped: the PP fixed point of this cache
             # is reached — exit to the exact machine, don't spin
             return Ws, dWs, "restart"

@@ -55,9 +55,19 @@ def coo_mttkrp_eligible(shape: Sequence[int], R: int, nnz: int,
                         block: int = DEFAULT_BLOCK) -> bool:
     """The kernel pays off when the scatter table is VMEM-resident and
     nnz is large enough to amortize the grid."""
+    order = len(shape)
     sp = max(_round_up(s, 128) for s in shape)
     Rp = _round_up(R, 8)
-    vmem = (sp * block + Rp * block * 2 + Rp * sp) * 4
+    # resident per grid step: the (sp, block) gather one-hot + the
+    # (block, sp) scatter one-hot, all `order` full (Rp, sp) factor
+    # buffers, the (Rp, block) running product, the (Rp, sp)
+    # accumulator + contrib, and the idx/vals blocks — double-buffered
+    # inputs add ~1 more one-hot's worth of headroom
+    vmem = (3 * sp * block                  # E_j + E0T + double-buffer
+            + order * Rp * sp               # factor buffers
+            + 2 * Rp * block                # product + vals broadcast
+            + 2 * Rp * sp                   # accumulator + contrib
+            + (order + 1) * block) * 4      # idx/vals blocks
     return (R <= 128 and sp <= 4096 and nnz >= 4 * block
             and vmem < VMEM_SOFT_LIMIT)
 

@@ -94,7 +94,7 @@ def norm_sq(st: SparseTensor):
 # The one-hot is materialized (nnz * s elements) in the XLA path, so it
 # only pays off while nnz * s stays HBM-friendly; above the budget we
 # fall back to the native ops.
-ONEHOT_BUDGET_ELEMS = 2 * 10**9  # ~2 GB at f32 ones; plenty for 1.6M x 200
+ONEHOT_BUDGET_ELEMS = 5 * 10**8  # 2 GB at f32 — covers 1.6M x 200 (3.2e8)
 
 
 def _gather_rows(W, idx, method: str = "auto"):

@@ -100,9 +100,12 @@ def improvement_times(rows_a, rows_b, frac=0.9, key="diffV", k=3):
     target = init - frac * (init - final)
     t_a, _ = time_to_sustained(rows_a, target, key, k)
     t_b, _ = time_to_sustained(rows_b, target, key, k)
-    if t_a is None:
+    if t_a is None or t_b is None:
+        # SYMMETRIC fallback: if either run never sustains the target,
+        # BOTH are scored by first crossing — crediting one run at a
+        # transient dip while holding the other to the sustained rule
+        # would manufacture speedups
         t_a, _ = first_crossing(rows_a, target, key)
-    if t_b is None:
         t_b, _ = first_crossing(rows_b, target, key)
     return t_a, t_b, target, degenerate
 
