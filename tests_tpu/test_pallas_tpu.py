@@ -128,3 +128,57 @@ def test_triple_roots_parity_tpu():
     for got, want in ((o1, e1), (o2, e2), (o3, e3)):
         err = float(jnp.abs(got - want).max() / jnp.abs(want).max())
         assert err < 5e-5, err
+
+
+def test_coo_mttkrp_pallas_parity_tpu():
+    """Fused one-hot COO MTTKRP kernel (ops/kernels/coo_pallas.py) ==
+    segment_sum oracle, compiled by Mosaic on the real chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pairwise_perturbation_tpu.ops import sparse as spo
+    from pairwise_perturbation_tpu.ops.kernels import coo_pallas
+
+    shape, R, nnz = (64, 80, 96, 50), 6, 40_000
+    key = jax.random.PRNGKey(9)
+    idx = jnp.stack(
+        [jax.random.randint(jax.random.fold_in(key, i), (nnz,), 0, s)
+         for i, s in enumerate(shape)], axis=1).astype(jnp.int32)
+    vals = jax.random.uniform(jax.random.fold_in(key, 99), (nnz,),
+                              dtype=jnp.float32, minval=-1.0)
+    Ws = [jax.random.uniform(jax.random.fold_in(key, 50 + i), (s, R),
+                             dtype=jnp.float32)
+          for i, s in enumerate(shape)]
+    st = spo.SparseTensor(idx, vals, shape)
+    assert coo_pallas.coo_mttkrp_eligible(shape, R, nnz, block=1024)
+    for mode in (0, 2, 3):
+        want = np.asarray(spo.mttkrp(st, Ws, mode, method="segment"))
+        got = np.asarray(coo_pallas.coo_mttkrp(idx, vals, Ws, mode,
+                                               block=1024))
+        np.testing.assert_allclose(got, want, rtol=2e-4,
+                                   atol=1e-3 * np.abs(want).max())
+
+
+def test_scatter_gather_onehot_parity_tpu():
+    """_scatter_rows / _gather_rows one-hot MXU paths == native paths on
+    the real chip (HIGHEST precision: gathers exact, scatter within f32
+    summation-order noise)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pairwise_perturbation_tpu.ops import sparse as spo
+
+    key = jax.random.PRNGKey(4)
+    n, s, R = 30_000, 160, 8
+    idx = jax.random.randint(key, (n,), 0, s).astype(jnp.int32)
+    W = jax.random.uniform(jax.random.fold_in(key, 1), (s, R),
+                           dtype=jnp.float32)
+    prod = jax.random.uniform(jax.random.fold_in(key, 2), (n, R),
+                              dtype=jnp.float32, minval=-1.0)
+    g_native = np.asarray(spo._gather_rows(W, idx, method="native"))
+    g_onehot = np.asarray(spo._gather_rows(W, idx, method="onehot"))
+    np.testing.assert_array_equal(g_native, g_onehot)  # EXACT rows
+    s_seg = np.asarray(spo._scatter_rows(prod, idx, s, method="segment"))
+    s_oh = np.asarray(spo._scatter_rows(prod, idx, s, method="onehot"))
+    np.testing.assert_allclose(s_oh, s_seg, rtol=2e-4,
+                               atol=1e-4 * np.abs(s_seg).max())
