@@ -3,11 +3,14 @@
 Measures, on the canonical sparse fixture (order-4 200^4, nnz = 1.6M,
 the shape class bench.py reports as sparse200_4_nnz1.6M):
 
-1. sparse MTTKRP per mode, THREE scatter strategies:
-   - segment  : jax.ops.segment_sum (the round-4 kernel),
-   - sorted   : segment_sum with per-mode pre-sorted nonzeros
-                (indices_are_sorted=True; sort cost is setup),
-   - onehot   : MXU one-hot matmul (ops/sparse._scatter_rows);
+1. sparse MTTKRP per mode, five kernel variants:
+   - segment     : jax.ops.segment_sum scatter (round-4 kernel),
+   - sorted      : segment_sum with per-mode pre-sorted nonzeros
+                   (indices_are_sorted=True; sort cost is setup),
+   - onehot      : MXU one-hot matmul scatter (ops/sparse._scatter_rows),
+   - onehot_full : gathers AND scatter as one-hot matmuls,
+   - pallas      : fused kernel, one-hots generated in VMEM
+                   (ops/kernels/coo_pallas.py);
 2. the full sparse simple sweep + PP cache build (auto strategy);
 3. the DENSE engine on the SAME tensor (to_dense + dt_sweep) — the
    "why bother with sparse" comparison;

@@ -1,21 +1,25 @@
-"""Tucker PP vs Tucker DT: end-to-end time-to-equal-fitness
+"""Tucker PP vs Tucker DT: end-to-end time-to-fitness
 (VERDICT r4 weak #2 / next #3).
 
 Round 4's diagnosis: coil Tucker PP lost 0.57x because the PP sweep was
-extraction-dominated (every mode re-eigh'd every sweep). Round 5 acts on
-it (tucker_pp_sweep: PP-auto 1-iteration warm subspace + quiet-mode
-skip) and benches BOTH the extraction-dominated config (coil ranks) and
-the reference's TTMc-dominated strong-scaling fixture shape class
-(order-6 'r2', script_strongscaling.py:10, sized to one chip).
+extraction-dominated. Round 5 acts on it (tucker_pp_sweep: PP-auto
+1-iteration warm subspace; quiet-mode skip measured negative and
+default-off) and measures honestly: throwaway warm runs for BOTH
+engines (the first engine in a relay process carries ~8 ms/sweep of
+dispatch overhead), the 90%-of-achievable-improvement metric
+(fitness.improvement_times, degenerate-flagged), and attribution rows
+(`_skip`, `_exact_extract`). Configs: coil ranks (3,10,10,70) and an
+order-6 low-rank Tucker fixture (the strong-scaling shape class,
+script_strongscaling.py:10, sized to one chip; the raw r2 random
+tensor is degenerate for a fitness race — truncated Tucker on noise
+improves ~0%).
 
-Per config: DT baseline = als_tucker (host driver, honest clock) vs
-PP = als_tucker_pp_fused, identical HOSVD init (deterministic), restol
-grid {0.1, 0.5} (script_real.py:50-58). Equal-fitness rule =
-fitness.equal_fitness_times on diffV (total: sustained or monotone).
+Verdict in results/TUCKER_PP.md: PP loses 0.3-0.8x structurally — the
+race from an HOSVD init is ~10 roofline DT sweeps.
 
 Usage: python scripts/bench_tucker_e2e.py [config ...]
-  configs: order6 coil all (default all)
-Writes results/tucker_e2e.json + updates results/TUCKER_PP.md.
+  configs: order6 coil all (default all); `md` rewrites the markdown
+Writes results/tucker_e2e.json + results/TUCKER_PP.md.
 """
 
 import json

@@ -31,6 +31,18 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) == 8, jax.devices()
+    config.addinivalue_line(
+        "markers", "slow: opt-in long tests (run with -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    if config.getoption("-m", default=""):
+        return  # explicit -m selection: run what was asked
+    skip = _pytest.mark.skip(reason="slow: opt-in via -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -139,3 +139,21 @@ def test_sparse_mttkrp_parity_across_process_counts(results):
     np.testing.assert_allclose(r1["sparse_mttkrp"],
                                r2[0]["sparse_mttkrp"],
                                rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_four_process_cluster_parity(vfile, tmp_path_factory):
+    """Scale the real-cluster evidence: 4 processes x 1 device each,
+    same 4-device global mesh, bitwise parity with the single-process
+    reference run (opt-in: pytest -m slow)."""
+    out4 = tmp_path_factory.mktemp("np4")
+    out1 = tmp_path_factory.mktemp("np1b")
+    _run_cluster(1, out1, 4, vfile)
+    _run_cluster(4, out4, 1, vfile)
+    r1 = np.load(os.path.join(out1, "result_0.npz"))
+    r4 = [np.load(os.path.join(out4, f"result_{pid}.npz"))
+          for pid in range(4)]
+    assert all(int(r["process_count"]) == 4 for r in r4)
+    for m in range(len(SHAPE)):
+        for r in r4:
+            np.testing.assert_array_equal(r1[f"pp_W{m}"], r[f"pp_W{m}"])
