@@ -58,13 +58,15 @@ class TuckerConfig:
     # factors have all drifted < pp_quiet_frac * tol_init (relative
     # norm) since the cache build keeps its factor without recomputing
     # the corrected TTMc or the extraction (see tucker_pp_sweep).
-    # DEFAULT 0 = OFF (reference semantics): measured on coil-100 the
-    # skip STALLS PP's compounding progress — skipped modes freeze dW,
-    # frozen dW keeps every mode quiet, and the phase goes stationary
-    # after ~1 useful sweep (2.7x time-to-90%-fitness vs 48x with the
-    # skip off; results/TUCKER_PP.md). The PP-auto warm extraction
-    # (PP_AUTO_SUBSPACE_*) is what makes PP sweeps cheap; the skip is
-    # kept as an opt-in knob with the stationarity exit guarding it.
+    # DEFAULT 0 = OFF (reference semantics): measured NEGATIVE — the
+    # skip can stall PP's compounding progress entirely (skipped modes
+    # freeze dW, frozen dW keeps every mode quiet, the phase goes
+    # stationary; on the order-6 low-rank fixture the skip-on run never
+    # improved fitness and ended worse, results/TUCKER_PP.md `_skip`
+    # row) and buys nothing where it doesn't stall (coil: within noise
+    # of skip-off). The PP-auto warm extraction (PP_AUTO_SUBSPACE_*) is
+    # what makes PP sweeps cheap; the skip is kept as an opt-in knob
+    # with the stationarity exit guarding it against spinning.
     pp_quiet_frac: float = 0.0
     # ShardedLayout of a -mesh run (host-side only; see cp.CPConfig) —
     # the fused machine pins TTMc cache shardings from it.
@@ -533,7 +535,6 @@ def _tucker_pp_sub(V, Ws, dWs, ranks, cfg, plot, clock, state, V_norm_sq):
         it = state["iter"]
         num_dw_break = 0
         if not cfg.bench:
-            from pairwise_perturbation_tpu.models.cp import _host_pull
             ratios = _host_pull(clock, factor_norm_ratios(Ws, dWs))
             num_dw_break = int(np.sum(np.abs(ratios) > state["tol_init"]))
         if it == init_iter or num_dw_break > 0:

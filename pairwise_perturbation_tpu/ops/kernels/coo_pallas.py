@@ -45,8 +45,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# VMEM budget: per block we hold one (sp, B) one-hot at a time plus the
-# (Rp, B) running product and the (Rp, sp) accumulator.
+# VMEM budget: see coo_mttkrp_eligible's itemized estimate (gather +
+# scatter one-hots with double-buffer headroom, all factor buffers,
+# product/accumulator/contrib, idx/vals blocks).
 DEFAULT_BLOCK = 2048
 VMEM_SOFT_LIMIT = 64 * 1024 * 1024
 

@@ -90,7 +90,7 @@ def main():
     # the one-hot path ADDITIONALLY materializes the (nnz, s) one-hot
     out["onehot_extra_traffic_MB"] = NNZ * SHAPE[0] * 4 / 1e6
 
-    # --- per-mode MTTKRP, three strategies
+    # --- per-mode MTTKRP kernel variants
     run_kernels = part in ("all", "kernels")
     for method in (("segment", "onehot") if run_kernels else ()):
         f = jax.jit(lambda Ws, m=0, method=method:
@@ -190,6 +190,11 @@ def main():
     # --- dense engine on the SAME tensor (own process: the 6.4 GB
     # densified V + the kernel executables don't fit together)
     if part in ("all", "dense"):
+        if "sweep_auto_ms" not in out:
+            raise SystemExit(
+                "dense part needs the kernels part's results first "
+                "(run `bench_sparse_perf.py kernels` in its own "
+                "process, then dense)")
         from pairwise_perturbation_tpu.models import cp
         Vd = sp.to_dense(st)
         _pull(Vd)

@@ -157,7 +157,8 @@ def main():
                 t_dt9, t_pp9, target9, degen = improvement_times(
                     res_dt.history, res_pp.history, frac=0.9)
                 speedup90 = (t_dt9 / t_pp9) \
-                    if (t_dt9 and t_pp9 and not degen) else None
+                    if (t_dt9 is not None and t_pp9 is not None
+                        and t_pp9 > 0 and not degen) else None
                 key = f"{name}_rt{rt}{qtag}"
                 summary[key] = dict(
                     shape=list(V.shape), ranks=list(ranks), restol=rt,
@@ -202,13 +203,15 @@ def main():
     ]
     for k in sorted(summary):
         e = summary[k]
-        s9 = f"**{e['speedup90']:.2f}x**" if e.get("speedup90") \
+        s9 = f"**{e['speedup90']:.2f}x**" \
+            if e.get("speedup90") is not None \
             else ("degenerate" if e.get("degenerate") else "n/a")
-        sp_ = f"{e['speedup']:.2f}x" if e.get("speedup") else "n/a"
+        sp_ = f"{e['speedup']:.2f}x" \
+            if e.get("speedup") is not None else "n/a"
         t9d = f"{e['dt_time_to_90pct']:.3f}" \
-            if e.get("dt_time_to_90pct") else "never"
+            if e.get("dt_time_to_90pct") is not None else "never"
         t9p = f"{e['pp_time_to_90pct']:.3f}" \
-            if e.get("pp_time_to_90pct") else "never"
+            if e.get("pp_time_to_90pct") is not None else "never"
         lines.append(
             f"| {k} | {'x'.join(map(str, e['ranks']))} | {e['restol']} "
             f"| {t9d} | {t9p} | {s9} | {sp_} "

@@ -112,7 +112,7 @@ def main():
     from pairwise_perturbation_tpu.ops import sparse as spo
     rngs = np.random.default_rng(13)
     Vh = np.zeros(shape, np.float32)
-    nnz = shape[0] * shape[1] * 4
+    nnz = min(shape[0] * shape[1] * 4, Vh.size // 2)
     flat = rngs.choice(Vh.size, size=nnz, replace=False)
     Vh.ravel()[flat] = rngs.standard_normal(nnz)
     mesh1d = pmesh.make_mesh(devices=devs)

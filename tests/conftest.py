@@ -36,10 +36,9 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    import pytest as _pytest
     if config.getoption("-m", default=""):
         return  # explicit -m selection: run what was asked
-    skip = _pytest.mark.skip(reason="slow: opt-in via -m slow")
+    skip = pytest.mark.skip(reason="slow: opt-in via -m slow")
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
