@@ -285,22 +285,19 @@ def main():
               "unsuffixed rows are the per-config BEST grid point; "
               "`_rtX` rows are the individual grid points.",
               "",
-              "Findings (round 4): the noisy-CP `c` config — round 3's "
-              "0.88x loss — wins 2.20x at restol 0.01 after the restol "
-              "sweep + solver stability fixes. The collinearity `col` "
-              "config tops out at ~1.3x: its phase mix (80% PP rows, "
-              "~11 phase flips — no restart churn) shows the bound is "
-              "structural, a TPU regime inversion vs the paper's CPU "
-              "runs: at the HBM roofline a DT sweep is ~12 ms, and "
-              "`col` SUSTAINS its target within ~35 DT sweeps "
-              "(~0.4 s), so PP's own DT-preconditioner phases + cache "
-              "builds are most of its time-to-target — there is simply "
-              "little left to accelerate at this size (the paper's "
-              "regime had ~1 s CPU sweeps x hundreds of sweeps). "
-              "The exact-rank `r` config never PLATEAUS inside the "
-              "budget (monotone descent to the arithmetic floor with "
-              ">0.1% row-to-row oscillation) — its rows use the "
-              "monotone first-crossing rule at the shared floor."]
+              "Findings (round 5, full grid re-measured on round-5 "
+              "code): PP wins EVERY family at its best restol — the "
+              "per-config best rows above. The collinearity `col` "
+              "margin is bounded structurally (a TPU regime inversion "
+              "vs the paper's CPU runs: `col` SUSTAINS its target "
+              "within a few dozen roofline-speed DT sweeps, so PP's "
+              "own DT-preconditioner phases + cache builds are most "
+              "of its time-to-target; the paper's regime had ~1 s CPU "
+              "sweeps x hundreds of sweeps). The exact-rank `r` "
+              "config never PLATEAUS inside the budget (monotone "
+              "descent to the arithmetic floor with >0.1% "
+              "row-to-row oscillation) — its rows use the monotone "
+              "first-crossing rule at the shared floor."]
     lines += ["", f"Raw data: results/pp_e2e.json (maxiter, restol, iters "
               "per run recorded there)."]
     with open("results/PP_WINS.md", "w") as f:
