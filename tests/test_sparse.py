@@ -460,3 +460,26 @@ def test_scatter_rows_onehot_matches_segment(rng):
     np.testing.assert_allclose(np.asarray(b[1:]), 0.0)
     np.testing.assert_allclose(np.asarray(b[0]),
                                np.asarray(prod.sum(axis=0)), rtol=1e-5)
+
+
+def test_mttkrp_onehot_lowering_has_no_scatter(rng):
+    """Pin the kernel-selection behavior at the HLO level: under the
+    one-hot budget the lowered sparse MTTKRP contains dot ops and NO
+    scatter/gather-style serialization; above the budget it falls back
+    to segment_sum (scatter present). Guards against silently regressing
+    the 6x MXU path (results/SPARSE_PERF.md)."""
+    import jax
+    V, st, Ws = _sparse_problem(rng, shape=(7, 6, 8, 5))
+    lowered = jax.jit(lambda Ws: spo.mttkrp(st, list(Ws), 0)).lower(Ws)
+    hlo = lowered.as_text()
+    assert "scatter" not in hlo, "auto path regressed to scatter"
+    assert "dot" in hlo
+    # above budget: segment fallback (scatter present)
+    old = spo.ONEHOT_BUDGET_ELEMS
+    try:
+        spo.ONEHOT_BUDGET_ELEMS = 1
+        lowered2 = jax.jit(
+            lambda Ws: spo.mttkrp(st, list(Ws), 0)).lower(Ws)
+        assert "scatter" in lowered2.as_text()
+    finally:
+        spo.ONEHOT_BUDGET_ELEMS = old
