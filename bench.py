@@ -72,6 +72,29 @@ def _best_of(measure, repeats=2):
     return min(measure() for _ in range(repeats))
 
 
+def _sparse_perf_fields():
+    """Measured vs_dense / roofline-fraction context from the dedicated
+    sparse study (results/sparse_perf.json), keyed into the sparse
+    section of the full-suite output (VERDICT r4 next #4's required
+    fields). Empty when the study hasn't been run."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "sparse_perf.json")
+    if not os.path.exists(path):
+        return {}
+    d = json.load(open(path))
+    pick = {
+        "mttkrp_best_ms": "sparse200_4_nnz1.6M_mttkrp_best_ms",
+        "mttkrp_segment_ms": "sparse200_4_nnz1.6M_mttkrp_segment_ms",
+        "mttkrp_onehot_full_roofline_frac":
+            "sparse200_4_nnz1.6M_mttkrp_roofline_frac",
+        "sweep_vs_dense": "sparse200_4_nnz1.6M_sweep_vs_dense",
+        "dense_dt_sweep_ms": "sparse200_4_nnz1.6M_dense_sweep_ms",
+        "mttkrp_vs_cpu": "sparse200_4_nnz1.6M_mttkrp_vs_cpu",
+    }
+    return {out: d[src] for src, out in pick.items() if src in d}
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -769,6 +792,11 @@ def main() -> int:
                 "sparse200_4_nnz1.6M_sweep_seconds": sparse_sweep,
                 "sparse200_4_nnz1.6M_pp_cache_build_seconds":
                     sparse_cache_build,
+                # measured context from the dedicated sparse study
+                # (scripts/bench_sparse_perf.py; separate processes for
+                # the 6.4 GB dense comparison) — merged by key so the
+                # sparse section carries its vs_dense / roofline story
+                **_sparse_perf_fields(),
             }.items() if v is not None})
         value = sweeps_per_sec
     except Exception as e:  # pragma: no cover
